@@ -1,0 +1,45 @@
+"""Headline benchmark — one JSON line on stdout.
+
+Metric: peak GFLOPS of the framework's flagship quantized GEMM rung
+(06_pallas_int8, chgemm-capability slot) over the M=N=K sweep, on one TPU
+chip, correctness-gated against the fp64 oracle exactly like every harness
+run. Baseline: the reference's best published GEMM number — MMult_cuda_12's
+22418 GFLOPS sweep peak on an RTX 3080 (BASELINE.md, cuda/output_
+MMult_cuda_12.m) — its headline "faster than cuBLAS" kernel.
+
+Detail rows go to stderr; stdout carries exactly one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import sys
+
+REFERENCE_BEST_GFLOPS = 22418.0  # cuda_12 sweep peak (BASELINE.md)
+RUNG = "06_pallas_int8"
+SIZES = (2048, 4096)
+
+
+def main() -> None:
+    from how_to_optimize_gemm_tpu.harness.driver import run_sweep
+    from how_to_optimize_gemm_tpu.harness.parameters import SweepConfig
+
+    peak = 0.0
+    for p in SIZES:
+        cfg = SweepConfig(pfirst=p, plast=p, pinc=1, nrepeats=8, warmup=1)
+        rows = run_sweep(RUNG, cfg, verbose=False)
+        for r in rows:
+            print(f"# {RUNG} p={r.p} {r.gflops:.1f} GFLOPS "
+                  f"(kernel_rel={r.kernel_rel:.2e})", file=sys.stderr)
+            peak = max(peak, r.gflops)
+
+    print(json.dumps({
+        "metric": f"peak int8 dequant-GEMM GFLOPS ({RUNG}, M=N=K sweep, "
+                  "1 chip)",
+        "value": round(peak, 1),
+        "unit": "GFLOPS",
+        "vs_baseline": round(peak / REFERENCE_BEST_GFLOPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

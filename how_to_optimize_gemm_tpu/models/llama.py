@@ -1,0 +1,281 @@
+"""Flagship model: Llama-2-architecture decoder on the quantized ladder.
+
+Capabilities (north star, BASELINE.json): decode with int8/int4 weights
+routed through the ladder kernels, KV cache, greedy generation, plus a
+training step (for the multi-chip dry run). Architecture: pre-RMSNorm,
+rotary position embeddings, grouped-query attention, SwiGLU MLP — the
+Llama-2 recipe, sized by ``LlamaConfig`` (defaults are a tiny test model;
+``llama2_7b()`` gives the real proportions).
+
+Pure-pytree params (no flax) so shardings can be annotated per-leaf with
+``jax.sharding.NamedSharding`` in parallel/sharding.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from how_to_optimize_gemm_tpu.models.linear import apply_linear, make_linear
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab: int = 256
+    d_model: int = 128
+    n_layers: int = 2
+    n_heads: int = 4
+    n_kv_heads: int = 2
+    d_ff: int = 256
+    max_seq: int = 128
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+    weight_kind: str = "bf16"     # linear format: fp32|bf16|int8|int4
+
+    @property
+    def d_head(self) -> int:
+        return self.d_model // self.n_heads
+
+
+def llama2_7b(weight_kind: str = "int8") -> LlamaConfig:
+    """Llama-2-7B proportions (vocab 32000, 32 layers, d_model 4096)."""
+    return LlamaConfig(vocab=32000, d_model=4096, n_layers=32, n_heads=32,
+                       n_kv_heads=32, d_ff=11008, max_seq=4096,
+                       weight_kind=weight_kind)
+
+
+# ---------------------------------------------------------------- params
+
+def init_params(key: jax.Array, cfg: LlamaConfig) -> dict[str, Any]:
+    """Random init; linears stored in cfg.weight_kind format."""
+    k_embed, k_out, *k_layers = jax.random.split(key, 2 + cfg.n_layers)
+
+    def dense(k, d_in, d_out, kind):
+        w = jax.random.normal(k, (d_in, d_out), jnp.float32)
+        w = w * (d_in ** -0.5)
+        return make_linear(w, kind)
+
+    d, h, kvh, dh = cfg.d_model, cfg.n_heads, cfg.n_kv_heads, cfg.d_head
+    layers = []
+    for kl in k_layers:
+        ks = jax.random.split(kl, 7)
+        layers.append({
+            "attn_norm": jnp.ones((d,), jnp.float32),
+            "wq": dense(ks[0], d, h * dh, cfg.weight_kind),
+            "wk": dense(ks[1], d, kvh * dh, cfg.weight_kind),
+            "wv": dense(ks[2], d, kvh * dh, cfg.weight_kind),
+            "wo": dense(ks[3], h * dh, d, cfg.weight_kind),
+            "mlp_norm": jnp.ones((d,), jnp.float32),
+            "w_gate": dense(ks[4], d, cfg.d_ff, cfg.weight_kind),
+            "w_up": dense(ks[5], d, cfg.d_ff, cfg.weight_kind),
+            "w_down": dense(ks[6], cfg.d_ff, d, cfg.weight_kind),
+        })
+    return {
+        "embed": jax.random.normal(k_embed, (cfg.vocab, d),
+                                   jnp.float32) * 0.02,
+        "out_norm": jnp.ones((d,), jnp.float32),
+        # lm head kept fp32 for trainability; quantize via requantize()
+        "lm_head": dense(k_out, d, cfg.vocab, "fp32"),
+        "layers": layers,
+    }
+
+
+def requantize(params: dict, kind: str) -> dict:
+    """Re-encode every linear of a params tree into ``kind`` (offline
+    weight quantization for serving)."""
+    from how_to_optimize_gemm_tpu.models.linear import linear_kind
+    from how_to_optimize_gemm_tpu.ops import quant
+
+    def to_dense(lin):
+        k = linear_kind(lin)
+        if k == "fp32":
+            return lin["fp32_w"]
+        if k == "bf16":
+            return lin["bf16_w"].astype(jnp.float32)
+        if k == "int8":
+            return quant.dequantize(lin["int8_qw"], lin["int8_sw"])
+        if k == "int4":
+            wq = quant.unpack_int4(lin["int4_packed"], 512)
+            return quant.dequantize(wq, lin["int4_sw"])
+        raise ValueError(k)
+
+    def walk(node):
+        if isinstance(node, dict):
+            keys = list(node)
+            if keys and all("_" in k for k in keys) and any(
+                    k.split("_")[0] in ("fp32", "bf16", "int8", "int4")
+                    for k in keys):
+                return make_linear(to_dense(node), kind)
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
+
+
+# --------------------------------------------------------------- modules
+
+def rmsnorm(x: jnp.ndarray, g: jnp.ndarray, eps: float) -> jnp.ndarray:
+    x = x.astype(jnp.float32)
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(var + eps) * g
+
+
+def _rope_freqs(cfg: LlamaConfig, positions: jnp.ndarray):
+    """positions: (..., seq) int32 -> cos/sin (..., seq, d_head/2)."""
+    inv = 1.0 / (cfg.rope_theta ** (
+        jnp.arange(0, cfg.d_head, 2, dtype=jnp.float32) / cfg.d_head))
+    ang = positions[..., None].astype(jnp.float32) * inv
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
+    """x: (..., seq, heads, d_head); cos/sin: (..., seq, d_head/2)."""
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    cos = cos[..., None, :]
+    sin = sin[..., None, :]
+    return jnp.concatenate([x1 * cos - x2 * sin,
+                            x2 * cos + x1 * sin], axis=-1)
+
+
+def _attention(q, k, v, mask):
+    """q: (B,S,H,D); k,v: (B,T,KVH,D); mask: (S,T), (B,S,T) or None."""
+    b, s, h, d = q.shape
+    kvh = k.shape[2]
+    rep = h // kvh
+    k = jnp.repeat(k, rep, axis=2)
+    v = jnp.repeat(v, rep, axis=2)
+    logits = jnp.einsum("bshd,bthd->bhst", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits * (d ** -0.5)
+    if mask is not None:
+        if mask.ndim == 2:
+            mask = mask[None]
+        logits = jnp.where(mask[:, None, :, :], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhst,bthd->bshd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, s, h * d)
+
+
+def _update_cache(cache, new, pos):
+    """cache (B,T,H,D) <- new (B,S,H,D) at position pos (scalar or (B,))."""
+    new = new.astype(cache.dtype)
+    if jnp.ndim(pos) == 0:
+        return jax.lax.dynamic_update_slice_in_dim(cache, new, pos, axis=1)
+    return jax.vmap(
+        lambda c, n, p: jax.lax.dynamic_update_slice_in_dim(c, n, p,
+                                                            axis=0)
+    )(cache, new, pos)
+
+
+def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
+           use_pallas=None):
+    """One transformer block. kv None = full-sequence (training/prefill
+    without cache); kv = (k_cache, v_cache, pos) for decode, pos scalar or
+    per-slot (B,) vector (continuous batching)."""
+    b, s, d = x.shape
+    h, kvh, dh = cfg.n_heads, cfg.n_kv_heads, cfg.d_head
+
+    y = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
+    q = apply_linear(layer["wq"], y, use_pallas).reshape(b, s, h, dh)
+    k = apply_linear(layer["wk"], y, use_pallas).reshape(b, s, kvh, dh)
+    v = apply_linear(layer["wv"], y, use_pallas).reshape(b, s, kvh, dh)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    new_kv = None
+    if kv is None:
+        attn = _attention(q, k, v, mask)
+    else:
+        k_cache, v_cache, pos = kv
+        k_cache = _update_cache(k_cache, k, pos)
+        v_cache = _update_cache(v_cache, v, pos)
+        t = k_cache.shape[1]
+        # valid[t'] = t' <= pos + offset for each query offset
+        q_pos = (pos[..., None] if jnp.ndim(pos) else pos) + jnp.arange(s)
+        valid = jnp.arange(t) <= q_pos[..., None]   # (S,T) or (B,S,T)
+        attn = _attention(q, k_cache.astype(jnp.float32),
+                          v_cache.astype(jnp.float32), valid)
+        new_kv = (k_cache, v_cache)
+    x = x + apply_linear(layer["wo"], attn, use_pallas)
+
+    y = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
+    gate = apply_linear(layer["w_gate"], y, use_pallas)
+    up = apply_linear(layer["w_up"], y, use_pallas)
+    x = x + apply_linear(layer["w_down"], jax.nn.silu(gate) * up,
+                         use_pallas)
+    return x, new_kv
+
+
+# -------------------------------------------------------------- forward
+
+def forward(params, cfg: LlamaConfig, tokens: jnp.ndarray,
+            use_pallas: bool | None = None) -> jnp.ndarray:
+    """Full-sequence forward (training / prefill): (B, S) -> (B, S, vocab)."""
+    b, s = tokens.shape
+    x = params["embed"][tokens]
+    pos = jnp.arange(s)
+    cos, sin = _rope_freqs(cfg, pos)
+    mask = jnp.tril(jnp.ones((s, s), bool))
+    for layer in params["layers"]:
+        x, _ = _block(layer, cfg, x, cos, sin, mask=mask,
+                      use_pallas=use_pallas)
+    x = rmsnorm(x, params["out_norm"], cfg.norm_eps)
+    return apply_linear(params["lm_head"], x, use_pallas)
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16):
+    shape = (batch, cfg.max_seq, cfg.n_kv_heads, cfg.d_head)
+    return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+            for _ in range(cfg.n_layers)]
+
+
+def decode_step(params, cfg: LlamaConfig, cache, tokens: jnp.ndarray,
+                pos: jnp.ndarray, use_pallas: bool | None = None):
+    """One decode step: tokens (B, S) at position pos (scalar or per-slot
+    (B,) vector) -> (logits, cache)."""
+    b, s = tokens.shape
+    x = params["embed"][tokens]
+    positions = (pos[..., None] if jnp.ndim(pos) else pos) + jnp.arange(s)
+    cos, sin = _rope_freqs(cfg, positions)
+    new_cache = []
+    for layer, (kc, vc) in zip(params["layers"], cache):
+        x, kv = _block(layer, cfg, x, cos, sin, kv=(kc, vc, pos),
+                       use_pallas=use_pallas)
+        new_cache.append(kv)
+    x = rmsnorm(x, params["out_norm"], cfg.norm_eps)
+    logits = apply_linear(params["lm_head"], x, use_pallas)
+    return logits, new_cache
+
+
+# ------------------------------------------------------------- training
+
+def loss_fn(params, cfg: LlamaConfig, tokens: jnp.ndarray,
+            use_pallas: bool | None = False) -> jnp.ndarray:
+    """Next-token cross entropy over (B, S) token batches."""
+    logits = forward(params, cfg, tokens[:, :-1], use_pallas)
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+    return jnp.mean(nll)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "lr"))
+def sgd_train_step(params, cfg: LlamaConfig, tokens, lr: float = 1e-2):
+    """One SGD step (the dry-run trainer; optax wiring lives in
+    parallel/training.py). Quantized linears are frozen (no useful grad
+    through rounding); float leaves train."""
+    loss, grads = jax.value_and_grad(loss_fn)(params, cfg, tokens)
+
+    def upd(p, g):
+        if g is None or p.dtype not in (jnp.float32, jnp.bfloat16):
+            return p
+        return (p - lr * g.astype(p.dtype)).astype(p.dtype)
+
+    new_params = jax.tree.map(upd, params, grads)
+    return new_params, loss

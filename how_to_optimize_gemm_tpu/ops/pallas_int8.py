@@ -1,0 +1,100 @@
+"""Rung 06 — int8 symmetric GEMM (chgemm capability slot).
+
+Reference analogue: the chgemm submodule (README.md:71-85): int8 symmetric
+quantization with values in [-127, 127], boundary handling for non-multiple
+shapes, beating the fp32 theoretical peak on the same silicon. On TPU the
+int8 path feeds the MXU at 2x the bf16 issue rate (v5e: ~394 TOPS int8 vs
+~197 TFLOPS bf16), with int32 accumulation — the systolic-array counterpart
+of chgemm's SMLAL/SADALP pipelines.
+
+Schedule: identical 3D grid to rung 04 (that is the point of the ladder —
+one new optimization per rung); the deltas here are (a) int8 operands +
+int32 VMEM accumulator, (b) the fused dequant epilogue: per-row scale of A
+x per-column scale of B applied as a rank-1 rescale at flush time, so the
+MXU never stalls on VPU dequant work mid-loop.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from how_to_optimize_gemm_tpu.ops import bounds, quant
+from how_to_optimize_gemm_tpu.utils.env import default_interpret
+
+
+def _kernel(a_ref, b_ref, sa_ref, sb_ref, c_ref, o_ref, acc_ref):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(a_ref[:], b_ref[:],
+                          preferred_element_type=jnp.int32)
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _flush():
+        # Fused dequant epilogue: rank-1 (sa_i * sb_j) rescale + C.
+        o_ref[:] = (acc_ref[:].astype(jnp.float32)
+                    * sa_ref[:] * sb_ref[:] + c_ref[:])
+
+
+def prepare(a: jnp.ndarray, b: jnp.ndarray):
+    """Quantize fp32 operands: A per-row, B per-column (chgemm-style)."""
+    qa, sa = quant.quantize_symmetric(a, axis=1)   # (M,K) int8, (M,1) f32
+    qb, sb = quant.quantize_symmetric(b, axis=0)   # (K,N) int8, (1,N) f32
+    return qa, sa, qb, sb
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
+def mmult_q(qa, sa, qb, sb, c, *, bm: int = 256, bn: int = 256,
+            bk: int = 512, interpret: bool | None = None):
+    """C = dequant(QA @ QB) + C on pre-quantized int8 operands."""
+    m, n = c.shape
+    qa = bounds.pad_dim(bounds.pad_dim(qa, 0, bm), 1, bk)
+    qb = bounds.pad_dim(bounds.pad_dim(qb, 0, bk), 1, bn)
+    c = bounds.pad_dim(bounds.pad_dim(c, 0, bm), 1, bn)
+    sa = bounds.pad_dim(sa, 0, bm)
+    sb = bounds.pad_dim(sb, 1, bn)
+    mp, kp = qa.shape
+    _, np_ = qb.shape
+    out = pl.pallas_call(
+        _kernel,
+        grid=(mp // bm, np_ // bn, kp // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_ + 2 * mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=default_interpret(interpret),
+    )(qa, qb, sa, sb, c)
+    return bounds.crop(out, m, n)
+
+
+def mmult(a, b, c, *, interpret: bool | None = None):
+    """Full path (quantize + GEMM) on fp32 inputs — harness convenience."""
+    qa, sa, qb, sb = prepare(a, b)
+    return mmult_q(qa, sa, qb, sb, c, interpret=interpret)

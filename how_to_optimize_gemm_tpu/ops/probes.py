@@ -1,0 +1,215 @@
+"""Hardware peak probes — L0 of the reference.
+
+Analogue of ``aarch64/gflops_benchmark`` (1e9 chained fmla iterations
+measuring raw FPU peak; ``func1.S`` has cross-register dependencies,
+``func2.S`` is dependency-free — both kept here) and the
+``vulkan/benchmark`` suite (gflops_fmla, gmem_bandwidth). On TPU:
+
+- mxu_peak_gflops(dtype): Pallas kernel chaining matmuls on VMEM-resident
+  tiles; all FLOPs hit the MXU with zero HBM traffic after the first
+  fetch. The serial dependency through the accumulator prevents elision.
+- hbm_bandwidth_gbps(): streaming copy, chained at the jit level so the
+  traffic dwarfs the dispatch round trip (gmem_bandwidth.comp analogue).
+- vpu_peak_gflops(dependent=True/False): chained element-wise FMA —
+  dependent = func1.S (latency-bound), independent 4-way = func2.S
+  (throughput).
+
+These measured ceilings are the roofline lines the plot layer draws,
+replacing armv7/proc_parameters.m's ``nflops_per_cycle * nprocessors *
+GHz`` model (armv7/PlotAll.m:14-16) with live measurements.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from how_to_optimize_gemm_tpu.utils.env import default_interpret
+from how_to_optimize_gemm_tpu.utils.timing import measure
+
+
+def _mxu_kernel(n_iters: int, acc_dtype, precision):
+    def kernel(x_ref, y_ref, o_ref):
+        def body(_, acc):
+            # acc feeds back into the product chain -> serial MXU deps,
+            # nothing can be hoisted or elided (cf. func1.S chained fmla).
+            return jnp.dot(x_ref[:], acc.astype(x_ref.dtype),
+                           preferred_element_type=acc_dtype,
+                           precision=precision)
+        acc0 = y_ref[:].astype(acc_dtype)
+        o_ref[:] = jax.lax.fori_loop(0, n_iters, body, acc0)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("size", "n_iters", "dtype_name",
+                                             "interpret"))
+def _mxu_probe(x, y, *, size, n_iters, dtype_name, interpret):
+    acc_dtype = jnp.int32 if dtype_name == "int8" else jnp.float32
+    # fp32 "true precision" runs as multi-pass bf16 on the MXU (HIGHEST);
+    # bf16/int8 run single-pass.
+    precision = (jax.lax.Precision.HIGHEST if dtype_name == "float32"
+                 else jax.lax.Precision.DEFAULT)
+    return pl.pallas_call(
+        _mxu_kernel(n_iters, acc_dtype, precision),
+        out_shape=jax.ShapeDtypeStruct((size, size), acc_dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=default_interpret(interpret),
+    )(x, y)
+
+
+def mxu_peak_gflops(dtype=jnp.bfloat16, size: int = 512,
+                    n_iters: int = 20000, repeats: int = 5,
+                    interpret: bool | None = None) -> float:
+    """Measured MXU peak for square ``size`` tiles of ``dtype``."""
+    dtype_name = jnp.dtype(dtype).name
+    if dtype_name == "int8":
+        x = jnp.ones((size, size), jnp.int8)
+        y = jnp.ones((size, size), jnp.int8)
+    else:
+        key = jax.random.PRNGKey(0)
+        # Near-unit spectral scaling keeps the chained products finite.
+        x = (jax.random.uniform(key, (size, size)) * (2.0 / size)).astype(dtype)
+        y = jnp.ones((size, size), dtype)
+    run = lambda: _mxu_probe(x, y, size=size, n_iters=n_iters,
+                             dtype_name=dtype_name, interpret=interpret)
+    best = measure(run, repeats=repeats, warmup=1)
+    return 2.0 * size * size * size * n_iters / best / 1e9
+
+
+def _copy_kernel(src_ref, dst_ref):
+    dst_ref[:] = src_ref[:]
+
+
+def _hbm_copy_once(x, interpret):
+    bm = 512
+    return pl.pallas_call(
+        _copy_kernel,
+        grid=(x.shape[0] // bm,),
+        in_specs=[pl.BlockSpec((bm, x.shape[1]), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bm, x.shape[1]), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=default_interpret(interpret),
+    )(x)
+
+
+@functools.partial(jax.jit, static_argnames=("chain", "interpret"))
+def _hbm_copy_chain(x, *, chain, interpret):
+    # Chained copies (y = copy(y)): total traffic = chain * 2 * |x|,
+    # amortizing the dispatch round trip out of the measurement.
+    return jax.lax.fori_loop(
+        0, chain, lambda _, y: _hbm_copy_once(y, interpret), x)
+
+
+def hbm_bandwidth_gbps(mbytes: int = 512, chain: int = 32,
+                       repeats: int = 5,
+                       interpret: bool | None = None) -> float:
+    """Streaming HBM read+write bandwidth via chained grid copy kernels.
+
+    Measured note (v5e): the Mosaic auto-pipeliner does NOT overlap the
+    input and output DMA streams of a pure copy (~316 GB/s r+w), while
+    XLA's fusion-emitted loop reaches ~650 GB/s — compare
+    xla_stream_bandwidth_gbps(). Closing that gap needs manual
+    double-buffered DMA (pltpu.make_async_copy), tracked as a ladder
+    follow-up.
+    """
+    rows = mbytes * 1024 * 1024 // (4 * 2048)
+    rows = max((rows // 512) * 512, 512)
+    x = jnp.ones((rows, 2048), jnp.float32)
+    run = lambda: _hbm_copy_chain(x, chain=chain, interpret=interpret)
+    best = measure(run, repeats=repeats, warmup=1)
+    nbytes = 2 * x.size * 4 * chain  # read + write per chained copy
+    return nbytes / best / 1e9
+
+
+@functools.partial(jax.jit, static_argnames=("chain",))
+def _xla_stream_chain(x, *, chain):
+    return jax.lax.fori_loop(0, chain, lambda _, y: y * 1.000001, x)
+
+
+def xla_stream_bandwidth_gbps(mbytes: int = 512, chain: int = 32,
+                              repeats: int = 5) -> float:
+    """HBM r+w bandwidth through XLA's own streaming loop (vendor bar for
+    the copy probe, like cuBLAS is for the GEMM ladder)."""
+    rows = max((mbytes * 1024 * 1024 // (4 * 2048) // 512) * 512, 512)
+    x = jnp.ones((rows, 2048), jnp.float32)
+    best = measure(lambda: _xla_stream_chain(x, chain=chain),
+                   repeats=repeats, warmup=1)
+    return 2 * x.size * 4 * chain / best / 1e9
+
+
+def _vpu_kernel(n_iters: int, dependent: bool):
+    def kernel(x_ref, o_ref):
+        y = x_ref[:]
+        if dependent:
+            # func1.S analogue: one serial FMA chain (latency-bound).
+            def body(_, acc):
+                for _ in range(8):
+                    acc = acc * 1.000001 + y
+                return acc
+            o_ref[:] = jax.lax.fori_loop(0, n_iters, body, y)
+        else:
+            # func2.S analogue: 4 independent chains (throughput-bound).
+            def body(_, accs):
+                return tuple(a * 1.000001 + y for a in accs)
+            accs = jax.lax.fori_loop(0, n_iters, body, (y, y * 2, y * 3,
+                                                        y * 4))
+            o_ref[:] = accs[0] + accs[1] + accs[2] + accs[3]
+    return kernel
+
+
+def vpu_peak_gflops(size: int = 512, n_iters: int = 40000,
+                    repeats: int = 5, dependent: bool = False,
+                    interpret: bool | None = None) -> float:
+    """Chained element-wise FMA peak (gflops_benchmark analogue)."""
+    x = jnp.full((size, 512), 1e-6, jnp.float32)
+    fma_per_iter = 8 if dependent else 4
+
+    @jax.jit
+    def run():
+        return pl.pallas_call(
+            _vpu_kernel(n_iters, dependent),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=default_interpret(interpret),
+        )(x)
+
+    best = measure(run, repeats=repeats, warmup=1)
+    return 2.0 * fma_per_iter * x.size * n_iters / best / 1e9
+
+
+# Published single-chip ceilings for TPU v5e (plot fallback when probes
+# can't run, e.g. in docs builds): bf16 197 TFLOPS, int8 394 TOPS,
+# HBM ~819 GB/s.
+V5E_PEAKS = {
+    "bf16_gflops": 197_000.0,
+    "int8_gflops": 394_000.0,
+    "fp32_gflops": 197_000.0 / 6.0,   # HIGHEST = 6-pass bf16
+    "hbm_gbps": 819.0,
+}
+
+
+def main():
+    for name, fn in [
+        ("MXU bf16 peak", lambda: mxu_peak_gflops(jnp.bfloat16)),
+        ("MXU int8 peak", lambda: mxu_peak_gflops(jnp.int8)),
+        ("MXU fp32 (HIGHEST, 6-pass)", lambda: mxu_peak_gflops(jnp.float32)),
+        ("VPU fma dependent (func1)",
+         lambda: vpu_peak_gflops(dependent=True)),
+        ("VPU fma independent (func2)",
+         lambda: vpu_peak_gflops(dependent=False)),
+        ("HBM r+w bandwidth (pallas)", hbm_bandwidth_gbps),
+        ("HBM r+w bandwidth (XLA)", xla_stream_bandwidth_gbps),
+    ]:
+        unit = "GB/s" if "bandwidth" in name else "GFLOPS"
+        print(f"{name:30s} {fn():12.1f} {unit}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""The ladder registry — runtime equivalent of the makefile OLD/NEW knob.
+
+The reference selects which rung links into the driver by editing
+``NEW :=`` in the makefile (``aarch64/makefile:1-2``, README.md:34-44).
+Here every rung registers under a stable name and the harness/CLI selects
+by name at runtime.
+
+Each rung carries the timed entrypoint plus the (untimed) operand
+preparation and the "effective operands" view used by the oracle: the
+correctness gate checks the *kernel* against an fp64 matmul of exactly what
+the kernel consumed (dequantized int8/int4, bf16-cast, ...), so quantization
+error never masks an indexing bug — and quantization error itself is
+reported separately (SURVEY.md §4 implication).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax.numpy as jnp
+
+from how_to_optimize_gemm_tpu.ops import (
+    naive_vpu,
+    pallas_int4,
+    pallas_int8,
+    pallas_k_blocked,
+    pallas_mn_tile,
+    pallas_tuned,
+    quant,
+    xla_dot,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Rung:
+    name: str
+    dtype: str                       # operand dtype family
+    run: Callable[..., jnp.ndarray]  # (*prepared, c) -> fp32 C  (timed)
+    prepare: Callable[[jnp.ndarray, jnp.ndarray], tuple]  # untimed
+    effective: Callable[[tuple], tuple]  # prepared -> (a_eff, b_eff) fp32
+    gate_rel: float                  # max |C-Cref| / max|Cref| allowed
+    doc: str
+    regression: bool = False         # honest negative result, kept on ladder
+    bytes_per_input_elt: float = 4.0  # for roofline/bandwidth accounting
+
+
+def _identity_prepare(a, b):
+    return (a, b)
+
+
+def _identity_effective(ops):
+    return ops[0].astype(jnp.float32), ops[1].astype(jnp.float32)
+
+
+def _bf16_prepare(a, b):
+    return (a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
+
+
+def _int8_effective(ops):
+    qa, sa, qb, sb = ops
+    return quant.dequantize(qa, sa), quant.dequantize(qb, sb)
+
+
+def _int8_run(qa, sa, qb, sb, c, **kw):
+    return pallas_int8.mmult_q(qa, sa, qb, sb, c, **kw)
+
+
+def _int4_prepare(a, b):
+    a16, packed, sw, kdim = pallas_int4.prepare(a, b)
+    return (a16, packed, sw, kdim)
+
+
+def _int4_effective(ops):
+    a16, packed, sw, kdim = ops
+    wq = quant.unpack_int4(packed, block_k=512)[:kdim]
+    return a16.astype(jnp.float32), quant.dequantize(wq, sw[:, :])[:kdim]
+
+
+def _int4_run(a16, packed, sw, kdim, c, **kw):
+    return pallas_int4.mmult_q(a16, packed, sw, c, **kw)
+
+
+LADDER: dict[str, Rung] = {}
+
+
+def _register(rung: Rung):
+    LADDER[rung.name] = rung
+    return rung
+
+
+_register(Rung(
+    name="00_naive_vpu", dtype="fp32",
+    run=lambda a, b, c, **kw: naive_vpu.mmult(a, b, c),
+    prepare=_identity_prepare, effective=_identity_effective,
+    gate_rel=1e-4,
+    doc="naive rank-1 loop, VPU only (MMult0 analogue)"))
+
+_register(Rung(
+    name="01_xla_fp32", dtype="fp32",
+    run=lambda a, b, c, **kw: xla_dot.mmult(a, b, c),
+    prepare=_identity_prepare, effective=_identity_effective,
+    gate_rel=1e-4,
+    doc="XLA native dot fp32 (cuBLAS_1 vendor bar)"))
+
+_register(Rung(
+    name="01b_xla_bf16", dtype="bf16",
+    run=lambda a, b, c, **kw: xla_dot.mmult_bf16(a, b, c),
+    prepare=_bf16_prepare, effective=_identity_effective,
+    gate_rel=1e-3, bytes_per_input_elt=2.0,
+    doc="XLA native dot bf16 (cuBLAS_2 GemmEx analogue)"))
+
+_register(Rung(
+    name="02_pallas_mn_tile", dtype="fp32",
+    run=pallas_mn_tile.mmult,
+    prepare=_identity_prepare, effective=_identity_effective,
+    gate_rel=1e-4,
+    doc="Pallas, one (bm,bn) C tile per program, full-K strips (cuda_3)"))
+
+_register(Rung(
+    name="03_pallas_k_blocked", dtype="fp32",
+    run=pallas_k_blocked.mmult,
+    prepare=_identity_prepare, effective=_identity_effective,
+    gate_rel=1e-4,
+    doc="Pallas, 3D grid + fp32 VMEM accumulator (4x4_10-12 / cuda_9)"))
+
+_register(Rung(
+    name="04_pallas_tuned_fp32", dtype="fp32",
+    run=pallas_tuned.mmult,
+    prepare=_identity_prepare, effective=_identity_effective,
+    gate_rel=1e-4,
+    doc="Pallas, VMEM-capacity-derived blocks + pipeline hints (4x4_13/14)"))
+
+_register(Rung(
+    name="05_pallas_bf16", dtype="bf16",
+    run=pallas_tuned.mmult_bf16,
+    prepare=_bf16_prepare, effective=_identity_effective,
+    gate_rel=1e-3, bytes_per_input_elt=2.0,
+    doc="Pallas bf16 operands, fp32 accumulate (MXU-native width)"))
+
+_register(Rung(
+    name="06_pallas_int8", dtype="int8",
+    run=_int8_run,
+    prepare=pallas_int8.prepare, effective=_int8_effective,
+    gate_rel=1e-4, bytes_per_input_elt=1.0,
+    doc="int8 symmetric [-127,127], int32 acc, fused dequant (chgemm)"))
+
+_register(Rung(
+    name="07_pallas_int4", dtype="int4",
+    run=_int4_run,
+    prepare=_int4_prepare, effective=_int4_effective,
+    gate_rel=1e-3, bytes_per_input_elt=0.5,
+    doc="int4 weight-only dequant+matmul, fused scale epilogue (cuda-int4)"))
+
+
+def get(name: str) -> Rung:
+    if name not in LADDER:
+        raise KeyError(
+            f"unknown rung {name!r}; available: {sorted(LADDER)}")
+    return LADDER[name]
+
+
+def names() -> list[str]:
+    return sorted(LADDER)

@@ -1,0 +1,152 @@
+"""Serving slice: prefill + decode engine with continuous batching.
+
+The north-star capability (BASELINE.json configs[4]): quantized decode
+with a slot-based continuous batcher. Device-side work is two jitted
+functions (prefill, decode_step) over static shapes; the batcher is host
+code that swaps finished slots for queued prompts between steps — the same
+split a production engine uses (static compiled step, dynamic scheduling
+outside).
+
+Tensor parallelism: pass a mesh and the params are placed with the
+Megatron layout from parallel/sharding.py; XLA inserts the ICI collectives
+inside the jitted step. Data parallelism for serving = independent engine
+replicas (no gradient exchange), so dp here means "more slots".
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from how_to_optimize_gemm_tpu.models import llama
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: list[int]
+    max_new: int
+    out: list[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+class ServingEngine:
+    """Slot-based continuous batching over jitted prefill/decode steps."""
+
+    def __init__(self, cfg: llama.LlamaConfig, params: dict[str, Any],
+                 batch_slots: int = 4, mesh=None,
+                 use_pallas: bool | None = None,
+                 sample: Callable | None = None):
+        self.cfg = cfg
+        self.batch = batch_slots
+        if mesh is not None:
+            from how_to_optimize_gemm_tpu.parallel.sharding import (
+                shard_params)
+            params = shard_params(params, mesh)
+        self.params = params
+        self.mesh = mesh
+        self.use_pallas = use_pallas
+
+        cache_dtype = jnp.bfloat16
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _decode(params, cache, tokens, pos):
+            logits, cache = llama.decode_step(params, cfg, cache, tokens,
+                                              pos, use_pallas)
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            return nxt, cache
+
+        self._decode = _decode
+        self.cache = llama.init_kv_cache(cfg, batch_slots, cache_dtype)
+        self.slot_req: list[Request | None] = [None] * batch_slots
+        self.slot_pos = np.zeros(batch_slots, np.int32)
+        self.slot_tok = np.zeros(batch_slots, np.int32)
+
+    # ------------------------------------------------------------- admin
+    def _admit(self, queue: list[Request]) -> None:
+        """Fill empty slots from the queue (prefill one request/slot).
+
+        Prefill currently runs the full-batch decode path once per
+        admitted request with right-aligned... — v1: token-by-token
+        prefill through the decode step (correct, not yet fast)."""
+        for s in range(self.batch):
+            if self.slot_req[s] is not None or not queue:
+                continue
+            req = queue.pop(0)
+            self.slot_req[s] = req
+            # feed prompt tokens through decode steps for this slot only
+            for t, tok in enumerate(req.prompt):
+                tokens = np.zeros((self.batch, 1), np.int32)
+                tokens[s, 0] = tok
+                pos = self.slot_pos.copy()
+                pos[s] = t
+                nxt, self.cache = self._decode(
+                    self.params, self.cache, jnp.asarray(tokens),
+                    jnp.asarray(pos))
+            self.slot_pos[s] = len(req.prompt)
+            self.slot_tok[s] = int(np.asarray(nxt)[s])
+            req.out.append(self.slot_tok[s])
+
+    # -------------------------------------------------------------- run
+    def run(self, requests: list[Request],
+            eos_id: int | None = None) -> list[Request]:
+        """Serve all requests to completion; returns them with .out."""
+        queue = list(requests)
+        self._admit(queue)
+        while any(r is not None for r in self.slot_req):
+            tokens = jnp.asarray(self.slot_tok.reshape(-1, 1))
+            pos = jnp.asarray(self.slot_pos)
+            nxt, self.cache = self._decode(self.params, self.cache,
+                                           tokens, pos)
+            nxt = np.asarray(nxt)
+            for s in range(self.batch):
+                req = self.slot_req[s]
+                if req is None:
+                    continue
+                self.slot_pos[s] += 1
+                tok = int(nxt[s])
+                req.out.append(tok)
+                hit_eos = eos_id is not None and tok == eos_id
+                full = self.slot_pos[s] + 1 >= self.cfg.max_seq
+                if len(req.out) >= req.max_new or hit_eos or full:
+                    req.done = True
+                    self.slot_req[s] = None
+                    self.slot_pos[s] = 0
+                    self.slot_tok[s] = 0
+                else:
+                    self.slot_tok[s] = tok
+            self._admit(queue)
+        return requests
+
+
+def decode_tokens_per_sec(cfg, params, batch: int = 8, steps: int = 32,
+                          use_pallas: bool | None = None,
+                          mesh=None) -> float:
+    """Steady-state decode throughput (tokens/s) at a fixed batch."""
+    from how_to_optimize_gemm_tpu.utils.timing import measure
+
+    if mesh is not None:
+        from how_to_optimize_gemm_tpu.parallel.sharding import shard_params
+        params = shard_params(params, mesh)
+    cache = llama.init_kv_cache(cfg, batch)
+    tokens = jnp.ones((batch, 1), jnp.int32)
+    pos = jnp.zeros((batch,), jnp.int32)
+
+    @jax.jit
+    def chain(cache, tokens, pos):
+        def body(i, carry):
+            cache, tokens, pos = carry
+            logits, cache = llama.decode_step(params, cfg, cache, tokens,
+                                              pos, use_pallas)
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1, keepdims=True)
+            return cache, nxt.astype(jnp.int32), pos + 1
+        cache, tokens, pos = jax.lax.fori_loop(
+            0, steps, body, (cache, tokens, pos))
+        return tokens.sum()
+
+    best = measure(lambda: chain(cache, tokens, pos), repeats=3, warmup=1)
+    return batch * steps / best

@@ -1,0 +1,78 @@
+"""ctypes loader for the native (C++) harness utilities in csrc/.
+
+Builds libhtog_native.so on first use (g++, ~1 s) and exposes:
+- native_dclock()           — CLOCK_MONOTONIC_RAW seconds
+- native_compare(out, ref)  — max-abs-diff + first offender
+- native_fill(n, seed)      — xoshiro256** uniform(-1,1) fill
+
+Every entry has a pure-Python/numpy fallback at its call site (timing.py,
+oracle.py), so a missing compiler degrades gracefully.
+"""
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+
+import numpy as np
+
+_REPO = pathlib.Path(__file__).resolve().parents[2]
+_CSRC = _REPO / "csrc"
+_SO = _CSRC / "libhtog_native.so"
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _SO.exists():
+        subprocess.run(["make", "-C", str(_CSRC)], check=True,
+                       capture_output=True)
+    lib = ctypes.CDLL(str(_SO))
+    lib.htog_dclock.restype = ctypes.c_double
+    lib.htog_compare.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.htog_fill_uniform.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_uint64,
+        ctypes.c_int, ctypes.c_float]
+    _lib = lib
+    return lib
+
+
+def native_dclock() -> float:
+    return _load().htog_dclock()
+
+
+def native_compare(out: np.ndarray, ref: np.ndarray, denom: float,
+                   rel_gate: float):
+    """Returns (max_abs, first_bad or None)."""
+    lib = _load()
+    out = np.ascontiguousarray(out, np.float32)
+    ref = np.ascontiguousarray(ref, np.float64)
+    assert out.shape == ref.shape and out.ndim == 2
+    max_abs = ctypes.c_double()
+    fi = ctypes.c_int64()
+    fj = ctypes.c_int64()
+    lib.htog_compare(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ref.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out.shape[0], out.shape[1], denom, rel_gate,
+        ctypes.byref(max_abs), ctypes.byref(fi), ctypes.byref(fj))
+    first = (fi.value, fj.value) if fi.value >= 0 else None
+    return max_abs.value, first
+
+
+def native_fill(count: int, seed: int = 0, constant: float | None = None
+                ) -> np.ndarray:
+    lib = _load()
+    buf = np.empty(count, np.float32)
+    lib.htog_fill_uniform(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        count, seed, 0 if constant is None else 1,
+        0.0 if constant is None else constant)
+    return buf

@@ -1,0 +1,130 @@
+"""Timing — equivalent of the reference's dclock (aarch64/dclock.cpp:8-22).
+
+Honest benchmarking on TPU (the hard part named in SURVEY.md §7) needs
+three ingredients on top of a monotonic clock:
+
+1. **Forced completion.** Dispatch is async and, behind a remote-relay
+   PJRT platform, even ``block_until_ready`` can return before the chip
+   finishes. Every timed region therefore ends by fetching a scalar
+   *reduction of the output* to the host — dataflow forces the full
+   computation.
+2. **Back-to-back chaining.** A single launch is swamped by host->device
+   round-trip latency, so we time ``inner_iters`` GEMMs serially chained
+   through the C accumulator inside ONE jit — the policy of the
+   reference's CUDA harness (NREPEATS launches between two cudaEvents,
+   ``cuda/test_MMult.cpp:98-118``), with the chaining making overlap or
+   elision impossible.
+3. **Null-cost subtraction.** The fixed dispatch+readback round trip is
+   measured with a trivial kernel and subtracted — the same
+   control-measurement trick as the reference's Vulkan FMA probe, which
+   subtracts a read/write-only shader (``vulkan/benchmark/
+   gflops_fmla.cpp:45-50``).
+
+Best-of-``outer_repeats`` on the outside, like the CPU harness
+(``aarch64/test_MMult.cpp:105-117``).
+
+When the native C++ helper library is built (csrc/), ``dclock`` uses its
+CLOCK_MONOTONIC_RAW reader; otherwise time.perf_counter.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def dclock() -> float:
+    """Seconds from a monotonic clock (native if available)."""
+    try:
+        from how_to_optimize_gemm_tpu.utils.native import native_dclock
+        return native_dclock()
+    except Exception:
+        return time.perf_counter()
+
+
+def flush(x) -> float:
+    """Force completion: pull a scalar reduction of x to the host.
+
+    The reduction is dispatched on device so only 4 bytes cross the wire;
+    its data dependency on every element of x forces the computation."""
+    return float(np.asarray(jnp.sum(x)))
+
+
+@functools.cache
+def dispatch_overhead_s() -> float:
+    """Measured null round trip: dispatch a trivial jitted op + scalar
+    readback. Subtracted from every timed region (control measurement)."""
+    x = jnp.zeros((8, 128), jnp.float32)
+    f = jax.jit(lambda x: jnp.sum(x) + 1.0)
+    flush(f(x))
+    best = float("inf")
+    for _ in range(10):
+        t0 = dclock()
+        flush(f(x))
+        best = min(best, dclock() - t0)
+    return best
+
+
+def measure(fn: Callable[[], jax.Array], repeats: int = 3,
+            warmup: int = 1, subtract_overhead: bool = True) -> float:
+    """Best-of wall seconds for fn (a jitted thunk returning an array whose
+    scalar reduction we fetch), null round trip subtracted."""
+    overhead = dispatch_overhead_s() if subtract_overhead else 0.0
+    for _ in range(warmup):
+        flush(fn())
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = dclock()
+        flush(fn())
+        best = min(best, dclock() - t0)
+    return max(best - overhead, 1e-9)
+
+
+def time_chained(run: Callable[..., jax.Array], prepared: tuple,
+                 c: jax.Array, inner_iters: int = 8,
+                 outer_repeats: int = 3, warmup: int = 1,
+                 target_s: float = 0.5, max_iters: int = 4096) -> float:
+    """Per-call seconds for ``run(*prepared, c)`` (see module docstring).
+
+    The chain length auto-scales until the chained work dominates the
+    dispatch round trip (target_s of device time), otherwise the
+    overhead subtraction is noise at small problem sizes.
+    """
+    overhead = dispatch_overhead_s()
+
+    def make(iters):
+        @jax.jit
+        def chained(c0):
+            def body(_, cc):
+                return run(*prepared, cc)
+            out = jax.lax.fori_loop(0, iters, body, c0)
+            # Scalar reduction: the flush fetch depends on every element.
+            return jnp.sum(out)
+        return chained
+
+    iters = max(inner_iters, 1)
+    fn = make(iters)
+    flush(fn(c))  # compile + warm
+    t0 = dclock()
+    flush(fn(c))
+    t_total = dclock() - t0
+    est_call = max((t_total - overhead) / iters, 1e-6)
+    want = int(min(max(target_s / est_call, iters), max_iters))
+    if want > 2 * iters:
+        iters = want
+        fn = make(iters)
+        flush(fn(c))  # compile + warm
+
+    best = measure(lambda: fn(c), repeats=outer_repeats, warmup=warmup)
+    return best / iters
+
+
+def time_best_of(fn: Callable[[], jax.Array], nrepeats: int = 10,
+                 warmup: int = 1) -> float:
+    """Single-launch best-of timing (includes one dispatch round trip;
+    prefer time_chained for kernels)."""
+    return measure(fn, repeats=nrepeats, warmup=warmup)

@@ -1,0 +1,69 @@
+"""Flagship model: decode/forward consistency, quantized paths, training."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from how_to_optimize_gemm_tpu.models import llama
+
+CFG = llama.LlamaConfig(vocab=64, d_model=64, n_layers=2, n_heads=4,
+                        n_kv_heads=2, d_ff=128, max_seq=32,
+                        weight_kind="fp32")
+
+
+@pytest.fixture(scope="module")
+def params():
+    return llama.init_params(jax.random.PRNGKey(0), CFG)
+
+
+def test_forward_shape(params):
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, CFG.vocab)
+    logits = llama.forward(params, CFG, tokens, use_pallas=False)
+    assert logits.shape == (2, 8, CFG.vocab)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_decode_matches_forward(params):
+    """Step-by-step decode with KV cache == full-sequence forward."""
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (1, 6), 0, CFG.vocab)
+    full = llama.forward(params, CFG, tokens, use_pallas=False)
+    cache = llama.init_kv_cache(CFG, batch=1, dtype=jnp.float32)
+    outs = []
+    for t in range(tokens.shape[1]):
+        logits, cache = llama.decode_step(
+            params, CFG, cache, tokens[:, t:t + 1], jnp.int32(t),
+            use_pallas=False)
+        outs.append(logits[:, 0])
+    stepped = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(stepped), np.asarray(full),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("kind", ["bf16", "int8", "int4"])
+def test_quantized_forward_close_to_fp32(params, kind):
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (1, 8), 0, CFG.vocab)
+    ref = llama.forward(params, CFG, tokens, use_pallas=False)
+    qparams = llama.requantize(params, kind)
+    out = llama.forward(qparams, CFG, tokens, use_pallas=False)
+    # quantization error, not kernel error: loose relative gate
+    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    budget = {"bf16": 0.05, "int8": 0.15, "int4": 0.5}[kind]
+    assert rel < budget, rel
+
+
+def test_train_step_reduces_loss(params):
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (4, 16), 0,
+                                CFG.vocab)
+    p = params
+    losses = []
+    for _ in range(5):
+        p, loss = llama.sgd_train_step(p, CFG, tokens, lr=0.5)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+
+def test_requantize_roundtrip_kinds(params):
+    q8 = llama.requantize(params, "int8")
+    assert "int8_qw" in q8["layers"][0]["wq"]
+    q4 = llama.requantize(q8, "int4")
+    assert "int4_packed" in q4["layers"][0]["w_up"]

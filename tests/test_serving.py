@@ -1,0 +1,57 @@
+"""Serving engine: continuous batching equals sequential greedy decode."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from how_to_optimize_gemm_tpu.models import llama
+from how_to_optimize_gemm_tpu.parallel.serving import Request, ServingEngine
+
+CFG = llama.LlamaConfig(vocab=64, d_model=64, n_layers=2, n_heads=4,
+                        n_kv_heads=2, d_ff=128, max_seq=32,
+                        weight_kind="fp32")
+
+
+@pytest.fixture(scope="module")
+def params():
+    return llama.init_params(jax.random.PRNGKey(7), CFG)
+
+
+def _greedy_reference(params, prompt, max_new):
+    """Sequential greedy decode via the raw decode_step API (batch 1)."""
+    cache = llama.init_kv_cache(CFG, 1, jnp.bfloat16)
+    tok = None
+    for t, p in enumerate(prompt):
+        logits, cache = llama.decode_step(
+            params, CFG, cache, jnp.asarray([[p]], jnp.int32),
+            jnp.asarray([t], jnp.int32), use_pallas=False)
+        tok = int(jnp.argmax(logits[0, -1]))
+    out = [tok]
+    pos = len(prompt)
+    while len(out) < max_new:
+        logits, cache = llama.decode_step(
+            params, CFG, cache, jnp.asarray([[out[-1]]], jnp.int32),
+            jnp.asarray([pos], jnp.int32), use_pallas=False)
+        out.append(int(jnp.argmax(logits[0, -1])))
+        pos += 1
+    return out
+
+
+def test_engine_matches_sequential(params):
+    prompts = [[3, 5, 7], [11, 2], [40, 41, 42, 43]]
+    reqs = [Request(uid=i, prompt=p, max_new=6)
+            for i, p in enumerate(prompts)]
+    eng = ServingEngine(CFG, params, batch_slots=2, use_pallas=False)
+    done = eng.run(reqs)
+    for req in done:
+        ref = _greedy_reference(params, req.prompt, req.max_new)
+        assert req.out == ref, (req.uid, req.out, ref)
+        assert req.done
+
+
+def test_engine_more_requests_than_slots(params):
+    reqs = [Request(uid=i, prompt=[i + 1, i + 2], max_new=3)
+            for i in range(5)]
+    eng = ServingEngine(CFG, params, batch_slots=2, use_pallas=False)
+    done = eng.run(reqs)
+    assert all(r.done and len(r.out) == 3 for r in done)
