@@ -72,9 +72,13 @@ def run_sweep(rung_name: str, config: SweepConfig | None = None,
                 raise oracle.DiffGateError(msg)
             print("WARNING:", msg)
 
+        # via-B chaining needs square shapes; fall back (with its hoisting
+        # caveat, see utils/timing.py) for pinned rectangular sweeps.
+        via_b = rung.chain_via_b and m == n == k
         best = time_chained(rung.run, prepared, c,
                             inner_iters=config.nrepeats,
-                            outer_repeats=3, warmup=config.warmup)
+                            outer_repeats=3, warmup=config.warmup,
+                            chain_via_b=via_b)
         gflops = 2.0 * m * n * k / best / 1e9
         p = max(m, n, k)
         rows.append(SweepRow(p=p, m=m, n=n, k=k, gflops=gflops,

@@ -42,6 +42,12 @@ class Rung:
     doc: str
     regression: bool = False         # honest negative result, kept on ladder
     bytes_per_input_elt: float = 4.0  # for roofline/bandwidth accounting
+    # Benchmark chaining policy: rungs whose GEMM is plain XLA ops MUST be
+    # chained through the B operand (C_{i+1} = A @ C_i + C) or XLA hoists
+    # the loop-invariant matmul out of the timing loop (see
+    # utils/timing.time_chained). True for any (a, b, c) rung with fp32
+    # B; quantized rungs carry through the accumulator instead.
+    chain_via_b: bool = False
 
 
 def _identity_prepare(a, b):
@@ -93,49 +99,49 @@ _register(Rung(
     run=lambda a, b, c, **kw: naive_vpu.mmult(a, b, c),
     prepare=_identity_prepare, effective=_identity_effective,
     gate_rel=1e-4,
-    doc="naive rank-1 loop, VPU only (MMult0 analogue)"))
+    doc="naive rank-1 loop, VPU only (MMult0 analogue)", chain_via_b=True))
 
 _register(Rung(
     name="01_xla_fp32", dtype="fp32",
     run=lambda a, b, c, **kw: xla_dot.mmult(a, b, c),
     prepare=_identity_prepare, effective=_identity_effective,
     gate_rel=1e-4,
-    doc="XLA native dot fp32 (cuBLAS_1 vendor bar)"))
+    doc="XLA native dot fp32 (cuBLAS_1 vendor bar)", chain_via_b=True))
 
 _register(Rung(
     name="01b_xla_bf16", dtype="bf16",
     run=lambda a, b, c, **kw: xla_dot.mmult_bf16(a, b, c),
     prepare=_bf16_prepare, effective=_identity_effective,
     gate_rel=1e-3, bytes_per_input_elt=2.0,
-    doc="XLA native dot bf16 (cuBLAS_2 GemmEx analogue)"))
+    doc="XLA native dot bf16 (cuBLAS_2 GemmEx analogue)", chain_via_b=True))
 
 _register(Rung(
     name="02_pallas_mn_tile", dtype="fp32",
     run=pallas_mn_tile.mmult,
     prepare=_identity_prepare, effective=_identity_effective,
     gate_rel=1e-4,
-    doc="Pallas, one (bm,bn) C tile per program, full-K strips (cuda_3)"))
+    doc="Pallas, one (bm,bn) C tile per program, full-K strips (cuda_3)", chain_via_b=True))
 
 _register(Rung(
     name="03_pallas_k_blocked", dtype="fp32",
     run=pallas_k_blocked.mmult,
     prepare=_identity_prepare, effective=_identity_effective,
     gate_rel=1e-4,
-    doc="Pallas, 3D grid + fp32 VMEM accumulator (4x4_10-12 / cuda_9)"))
+    doc="Pallas, 3D grid + fp32 VMEM accumulator (4x4_10-12 / cuda_9)", chain_via_b=True))
 
 _register(Rung(
     name="04_pallas_tuned_fp32", dtype="fp32",
     run=pallas_tuned.mmult,
     prepare=_identity_prepare, effective=_identity_effective,
     gate_rel=1e-4,
-    doc="Pallas, VMEM-capacity-derived blocks + pipeline hints (4x4_13/14)"))
+    doc="Pallas, VMEM-capacity-derived blocks + pipeline hints (4x4_13/14)", chain_via_b=True))
 
 _register(Rung(
     name="05_pallas_bf16", dtype="bf16",
     run=pallas_tuned.mmult_bf16,
     prepare=_bf16_prepare, effective=_identity_effective,
     gate_rel=1e-3, bytes_per_input_elt=2.0,
-    doc="Pallas bf16 operands, fp32 accumulate (MXU-native width)"))
+    doc="Pallas bf16 operands, fp32 accumulate (MXU-native width)", chain_via_b=True))
 
 _register(Rung(
     name="06_pallas_int8", dtype="int8",

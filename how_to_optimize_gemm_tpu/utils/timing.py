@@ -87,20 +87,42 @@ def measure(fn: Callable[[], jax.Array], repeats: int = 3,
 def time_chained(run: Callable[..., jax.Array], prepared: tuple,
                  c: jax.Array, inner_iters: int = 8,
                  outer_repeats: int = 3, warmup: int = 1,
-                 target_s: float = 0.5, max_iters: int = 4096) -> float:
+                 target_s: float = 0.5, max_iters: int = 4096,
+                 chain_via_b: bool = False) -> float:
     """Per-call seconds for ``run(*prepared, c)`` (see module docstring).
 
     The chain length auto-scales until the chained work dominates the
     dispatch round trip (target_s of device time), otherwise the
     overhead subtraction is noise at small problem sizes.
+
+    chain_via_b: carry the loop state through the B OPERAND
+    (``C_{i+1} = A @ C_i + C``, square shapes only) instead of through the
+    accumulator. Mandatory for rungs built from plain XLA ops: with the
+    default carry, ``A @ B`` is loop-invariant and XLA hoists the entire
+    matmul out of the while loop, leaving only the ``+ C`` add in the
+    timed region (observed: a "2.7 PFLOPS" bf16 dot). Pallas rungs are
+    custom calls, which XLA does not hoist, so either mode is honest for
+    them — via-B additionally defeats operand caching of B.
     """
     overhead = dispatch_overhead_s()
+
+    if chain_via_b:
+        # Contractive rescale of A (timing-only copy, same shape/dtype/
+        # layout) so the via-B chain can't blow up to inf over thousands
+        # of iterations.
+        a0 = prepared[0]
+        a_scaled = (a0.astype(jnp.float32) * (2.0 / a0.shape[1])
+                    ).astype(a0.dtype)
 
     def make(iters):
         @jax.jit
         def chained(c0):
-            def body(_, cc):
-                return run(*prepared, cc)
+            if chain_via_b:
+                def body(_, cc):
+                    return run(a_scaled, cc, c)
+            else:
+                def body(_, cc):
+                    return run(*prepared, cc)
             out = jax.lax.fori_loop(0, iters, body, c0)
             # Scalar reduction: the flush fetch depends on every element.
             return jnp.sum(out)
