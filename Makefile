@@ -1,0 +1,39 @@
+# Workflow parity with the reference's makefile UX
+# (aarch64/makefile:1-2 `OLD :=`/`NEW :=` + `make run`), mapped onto the
+# runtime registry. Examples:
+#
+#   make run NEW=06_pallas_int8 OLD=01_xla_fp32
+#   make run NEW=05_pallas_bf16 SWEEP="--pfirst 1024 --plast 4096 --pinc 1024"
+#   make plot
+#   make probes
+#   make test
+#   make bench
+#   make native
+
+OLD ?= 01_xla_fp32
+NEW ?= 05_pallas_bf16
+SWEEP ?= --quick
+OUT ?= outputs
+
+run:
+	python -u -m how_to_optimize_gemm_tpu.harness.driver \
+	  --new $(NEW) --old $(OLD) --output-dir $(OUT) $(SWEEP)
+
+plot:
+	python -m how_to_optimize_gemm_tpu.viz.plot \
+	  $(OUT)/output_old.m $(OUT)/output_new.m \
+	  --roofline bf16 --save figures/compare.png
+
+probes:
+	python -c "from how_to_optimize_gemm_tpu.ops import probes; probes.main()"
+
+test:
+	python -m pytest tests/ -x -q
+
+bench:
+	python bench.py
+
+native:
+	$(MAKE) -C csrc
+
+.PHONY: run plot probes test bench native

@@ -113,6 +113,9 @@ def main(argv=None):
     ap.add_argument("--pinc", type=int, default=None)
     ap.add_argument("--nrepeats", type=int, default=None)
     ap.add_argument("--no-strict", action="store_true")
+    ap.add_argument("--roofline", action="store_true",
+                    help="print top-down roofline attribution per rung "
+                         "(the mperf-TMA analogue, harness/profiling.py)")
     args = ap.parse_args(argv)
 
     config = QUICK_SWEEP if args.quick else (
@@ -128,10 +131,14 @@ def main(argv=None):
         if name is None:
             continue
         print(f"== {tag}: {name} ==")
-        run_sweep(name, config, out_dir, strict=not args.no_strict)
+        rows = run_sweep(name, config, out_dir, strict=not args.no_strict)
         # old/new A-B snapshot convention (aarch64/makefile:43-44)
         shutil.copy(out_dir / f"output_{name}.m",
                     out_dir / f"output_{tag}.m")
+        if args.roofline:
+            from how_to_optimize_gemm_tpu.harness.profiling import (
+                roofline_report)
+            print(roofline_report(rows, name))
 
 
 if __name__ == "__main__":

@@ -79,20 +79,16 @@ def apply_linear(lin: dict[str, Any], x: jnp.ndarray,
     elif kind == "int8":
         qa, sa = quant.quantize_symmetric(x2.astype(jnp.float32), axis=1)
         if use_pallas:
-            c = jnp.zeros((x2.shape[0], lin["int8_qw"].shape[1]),
-                          jnp.float32)
-            y = pallas_int8.mmult_q(qa, sa, lin["int8_qw"], lin["int8_sw"],
-                                    c)
+            y = pallas_int8.mmult_q_noc(qa, sa, lin["int8_qw"],
+                                        lin["int8_sw"])
         else:
             acc = jnp.dot(qa.astype(jnp.int32), lin["int8_qw"].astype(
                 jnp.int32), preferred_element_type=jnp.int32)
             y = acc.astype(jnp.float32) * sa * lin["int8_sw"]
     elif kind == "int4":
         if use_pallas:
-            c = jnp.zeros((x2.shape[0], lin["int4_packed"].shape[1]),
-                          jnp.float32)
-            y = pallas_int4.mmult_q(x2.astype(jnp.bfloat16),
-                                    lin["int4_packed"], lin["int4_sw"], c)
+            y = pallas_int4.mmult_q_noc(x2.astype(jnp.bfloat16),
+                                        lin["int4_packed"], lin["int4_sw"])
         else:
             wq = quant.unpack_int4(lin["int4_packed"], INT4_BLOCK_K)
             w = (wq.astype(jnp.float32) * lin["int4_sw"]).astype(

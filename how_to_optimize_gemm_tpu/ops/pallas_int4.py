@@ -47,6 +47,69 @@ def _kernel(a_ref, w_ref, s_ref, c_ref, o_ref, acc_ref):
         o_ref[:] = acc_ref[:] * s_ref[:] + c_ref[:]
 
 
+def _kernel_noc(a_ref, w_ref, s_ref, o_ref, acc_ref):
+    """C-less serving variant: y = A @ dequant(W4) (see pallas_int8
+    counterpart for the traffic rationale)."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[:].astype(jnp.int32)
+    lo = ((w & 0xF) ^ 8) - 8
+    hi = w >> 4
+    wq = jnp.concatenate([lo, hi], axis=0)
+    acc_ref[:] += jnp.dot(a_ref[:], wq.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _flush():
+        o_ref[:] = acc_ref[:] * s_ref[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bm", "bn", "bk", "interpret"))
+def mmult_q_noc(a, packed, sw, *, bm: int = 256, bn: int = 256,
+                bk: int = 512, interpret: bool | None = None):
+    """y = A_bf16 @ dequant(W4), no C accumulate (serving fast path)."""
+    m = a.shape[0]
+    n = packed.shape[1]
+    kp = packed.shape[0] * 2
+    a = bounds.pad_dim(bounds.pad_dim(a, 0, bm), 1, kp)
+    packed = bounds.pad_dim(packed, 1, bn)
+    sw = bounds.pad_dim(sw, 1, bn)
+    mp = a.shape[0]
+    np_ = packed.shape[1]
+    assert kp % bk == 0
+    out = pl.pallas_call(
+        _kernel_noc,
+        grid=(mp // bm, np_ // bn, kp // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp * 2 + kp * np_ // 2 + mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=default_interpret(interpret),
+    )(a, packed, sw)
+    return bounds.crop(out, m, n)
+
+
 def prepare(a: jnp.ndarray, b: jnp.ndarray, bk: int = 512):
     """Quantize weights B to packed int4 + per-column scales; A to bf16."""
     kdim = b.shape[0]

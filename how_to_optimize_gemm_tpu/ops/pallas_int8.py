@@ -43,6 +43,25 @@ def _kernel(a_ref, b_ref, sa_ref, sb_ref, c_ref, o_ref, acc_ref):
                     * sa_ref[:] * sb_ref[:] + c_ref[:])
 
 
+def _kernel_noc(a_ref, b_ref, sa_ref, sb_ref, o_ref, acc_ref):
+    """C-less variant (serving path): y = dequant(QA @ QB). Skipping the
+    C accumulate removes 2*M*N*4 bytes of HBM traffic — at 4096 that is
+    128 MB against 32 MB of int8 operands, i.e. most of the memory-bound
+    ceiling."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(a_ref[:], b_ref[:],
+                          preferred_element_type=jnp.int32)
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _flush():
+        o_ref[:] = acc_ref[:].astype(jnp.float32) * sa_ref[:] * sb_ref[:]
+
+
 def prepare(a: jnp.ndarray, b: jnp.ndarray):
     """Quantize fp32 operands: A per-row, B per-column (chgemm-style)."""
     qa, sa = quant.quantize_symmetric(a, axis=1)   # (M,K) int8, (M,1) f32
@@ -91,6 +110,48 @@ def mmult_q(qa, sa, qb, sb, c, *, bm: int = 256, bn: int = 256,
         ),
         interpret=default_interpret(interpret),
     )(qa, qb, sa, sb, c)
+    return bounds.crop(out, m, n)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
+def mmult_q_noc(qa, sa, qb, sb, *, bm: int = 512, bn: int = 512,
+                bk: int = 2048, interpret: bool | None = None):
+    """y = dequant(QA @ QB), no C accumulate (serving fast path)."""
+    m = qa.shape[0]
+    n = qb.shape[1]
+    qa = bounds.pad_dim(bounds.pad_dim(qa, 0, bm), 1, bk)
+    qb = bounds.pad_dim(bounds.pad_dim(qb, 0, bk), 1, bn)
+    sa = bounds.pad_dim(sa, 0, bm)
+    sb = bounds.pad_dim(sb, 1, bn)
+    mp, kp = qa.shape
+    _, np_ = qb.shape
+    out = pl.pallas_call(
+        _kernel_noc,
+        grid=(mp // bm, np_ // bn, kp // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_ + mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=default_interpret(interpret),
+    )(qa, qb, sa, sb)
     return bounds.crop(out, m, n)
 
 

@@ -133,7 +133,8 @@ def _mmult_impl(a, b, c, blocks, interpret, in_dtype, precision):
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=VMEM_LIMIT,
+            # no explicit vmem_limit_bytes: Mosaic's 16 MiB default is the
+            # physical bound; a tighter cap only rejects valid configs
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * kp,

@@ -130,6 +130,17 @@ _register(Rung(
     doc="Pallas, 3D grid + fp32 VMEM accumulator (4x4_10-12 / cuda_9)", chain_via_b=True))
 
 _register(Rung(
+    name="03b_pallas_small_blocks", dtype="fp32",
+    run=lambda a, b, c, **kw: pallas_k_blocked.mmult(
+        a, b, c, bm=128, bn=128, bk=128, **kw),
+    prepare=_identity_prepare, effective=_identity_effective,
+    gate_rel=1e-4, regression=True, chain_via_b=True,
+    doc="REGRESSION (kept honestly, like cuda_6/4x4_15/vk_3): 128^3 "
+        "blocks maximize grid parallelism but cut arithmetic intensity "
+        "per VMEM byte 4x and multiply pipeline ramp overhead — slower "
+        "than rung 03 despite 'more parallelism'"))
+
+_register(Rung(
     name="04_pallas_tuned_fp32", dtype="fp32",
     run=pallas_tuned.mmult,
     prepare=_identity_prepare, effective=_identity_effective,

@@ -136,8 +136,10 @@ def decode_tokens_per_sec(cfg, params, batch: int = 8, steps: int = 32,
     tokens = jnp.ones((batch, 1), jnp.int32)
     pos = jnp.zeros((batch,), jnp.int32)
 
+    # params is a jit argument (closure capture would inline the whole
+    # model as module constants — see utils/timing.py).
     @jax.jit
-    def chain(cache, tokens, pos):
+    def chain(params, cache, tokens, pos):
         def body(i, carry):
             cache, tokens, pos = carry
             logits, cache = llama.decode_step(params, cfg, cache, tokens,
@@ -148,5 +150,6 @@ def decode_tokens_per_sec(cfg, params, batch: int = 8, steps: int = 32,
             0, steps, body, (cache, tokens, pos))
         return tokens.sum()
 
-    best = measure(lambda: chain(cache, tokens, pos), repeats=3, warmup=1)
+    best = measure(lambda: chain(params, cache, tokens, pos), repeats=3,
+                   warmup=1)
     return batch * steps / best

@@ -24,8 +24,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from how_to_optimize_gemm_tpu.ops import pallas_int8, pallas_int4, quant
 
 
-def _local_int8_mmult(qa, sa, qb, sb, c, interpret):
-    return pallas_int8.mmult_q(qa, sa, qb, sb, c, interpret=interpret)
+def _local_int8_mmult(qa, sa, qb, sb, interpret):
+    return pallas_int8.mmult_q_noc(qa, sa, qb, sb, interpret=interpret)
 
 
 def column_parallel_int8(x, qw, sw, mesh: Mesh, axis: str = "tp",
@@ -38,8 +38,7 @@ def column_parallel_int8(x, qw, sw, mesh: Mesh, axis: str = "tp",
     """
     def shard_fn(x, qw, sw):
         qa, sa = quant.quantize_symmetric(x, axis=1)
-        c = jnp.zeros((x.shape[0], qw.shape[1]), jnp.float32)
-        return _local_int8_mmult(qa, sa, qw, sw, c, interpret)
+        return _local_int8_mmult(qa, sa, qw, sw, interpret)
 
     return jax.shard_map(
         shard_fn, mesh=mesh,
@@ -59,8 +58,7 @@ def row_parallel_int8(x, qw, sw, mesh: Mesh, axis: str = "tp",
     """
     def shard_fn(x, qw, sw):
         qa, sa = quant.quantize_symmetric(x, axis=1)
-        c = jnp.zeros((x.shape[0], qw.shape[1]), jnp.float32)
-        y = _local_int8_mmult(qa, sa, qw, sw, c, interpret)
+        y = _local_int8_mmult(qa, sa, qw, sw, interpret)
         return jax.lax.psum(y, axis)
 
     return jax.shard_map(
@@ -79,9 +77,8 @@ def column_parallel_int4(x, packed, sw, mesh: Mesh, axis: str = "tp",
     layout, ops/quant.py); sw: (1, N) f32.
     """
     def shard_fn(x, packed, sw):
-        c = jnp.zeros((x.shape[0], packed.shape[1]), jnp.float32)
-        return pallas_int4.mmult_q(x.astype(jnp.bfloat16), packed, sw, c,
-                                   interpret=interpret)
+        return pallas_int4.mmult_q_noc(x.astype(jnp.bfloat16), packed, sw,
+                                       interpret=interpret)
 
     return jax.shard_map(
         shard_fn, mesh=mesh,

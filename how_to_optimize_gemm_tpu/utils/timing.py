@@ -113,16 +113,23 @@ def time_chained(run: Callable[..., jax.Array], prepared: tuple,
         a0 = prepared[0]
         a_scaled = (a0.astype(jnp.float32) * (2.0 / a0.shape[1])
                     ).astype(a0.dtype)
+        operands = (a_scaled,)
+    else:
+        operands = tuple(prepared)
 
+    # Operands/C are jit ARGUMENTS, never closure captures: a captured
+    # device array is serialized as an inline constant into the lowered
+    # module (observed: a 100 MB MLIR blob at 4096^2 that crashed the
+    # compile helper).
     def make(iters):
         @jax.jit
-        def chained(c0):
+        def chained(ops, cin, c0):
             if chain_via_b:
                 def body(_, cc):
-                    return run(a_scaled, cc, c)
+                    return run(ops[0], cc, cin)
             else:
                 def body(_, cc):
-                    return run(*prepared, cc)
+                    return run(*ops, cc)
             out = jax.lax.fori_loop(0, iters, body, c0)
             # Scalar reduction: the flush fetch depends on every element.
             return jnp.sum(out)
@@ -130,18 +137,19 @@ def time_chained(run: Callable[..., jax.Array], prepared: tuple,
 
     iters = max(inner_iters, 1)
     fn = make(iters)
-    flush(fn(c))  # compile + warm
+    flush(fn(operands, c, c))  # compile + warm
     t0 = dclock()
-    flush(fn(c))
+    flush(fn(operands, c, c))
     t_total = dclock() - t0
     est_call = max((t_total - overhead) / iters, 1e-6)
     want = int(min(max(target_s / est_call, iters), max_iters))
     if want > 2 * iters:
         iters = want
         fn = make(iters)
-        flush(fn(c))  # compile + warm
+        flush(fn(operands, c, c))  # compile + warm
 
-    best = measure(lambda: fn(c), repeats=outer_repeats, warmup=warmup)
+    best = measure(lambda: fn(operands, c, c), repeats=outer_repeats,
+                   warmup=warmup)
     return best / iters
 
 
