@@ -69,11 +69,35 @@ def prepare(a: jnp.ndarray, b: jnp.ndarray):
     return qa, sa, qb, sb
 
 
+# Empirically validated working-set ceiling on v5e for this schedule:
+# 512x512 C tile + full-K int8 strips up to bk=4096 compiles and runs
+# (≈12 MB model working set); bk=8192 does not. Sweep data (p=4096):
+# (256,256,512) 129 TOPS -> (512,512,2048) 244 -> (512,512,4096) 275;
+# p=2048 full-K (512,512,2048) 296 TOPS = 75% of v5e's 394 nominal.
+# Bigger C tiles lose (768/640 variants all regressed): the win is
+# minimizing operand RELOADS (each of A/B is re-read gridj/gridi times),
+# and 512x512 already amortizes the fp32 C/out traffic.
+BK_CAP = 4096
+
+
+def choose_blocks_q(m: int, n: int, k: int) -> tuple[int, int, int]:
+    """(bm, bn, bk) for the int8 schedule: 512x512 C tile, full-K strips
+    capped at BK_CAP (the reference derives GEMM_M/N/K from cache capacity
+    the same way, ``aarch64/MMult_4x4_14.cpp:24-55``)."""
+    bm = min(bounds.round_up(m, 128), 512)
+    bn = min(bounds.round_up(n, 128), 512)
+    bk = min(bounds.round_up(k, 512), BK_CAP)
+    return bm, bn, bk
+
+
 @functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
-def mmult_q(qa, sa, qb, sb, c, *, bm: int = 256, bn: int = 256,
-            bk: int = 512, interpret: bool | None = None):
+def mmult_q(qa, sa, qb, sb, c, *, bm: int | None = None,
+            bn: int | None = None, bk: int | None = None,
+            interpret: bool | None = None):
     """C = dequant(QA @ QB) + C on pre-quantized int8 operands."""
     m, n = c.shape
+    abm, abn, abk = choose_blocks_q(m, n, qa.shape[1])
+    bm, bn, bk = bm or abm, bn or abn, bk or abk
     qa = bounds.pad_dim(bounds.pad_dim(qa, 0, bm), 1, bk)
     qb = bounds.pad_dim(bounds.pad_dim(qb, 0, bk), 1, bn)
     c = bounds.pad_dim(bounds.pad_dim(c, 0, bm), 1, bn)
@@ -114,11 +138,14 @@ def mmult_q(qa, sa, qb, sb, c, *, bm: int = 256, bn: int = 256,
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
-def mmult_q_noc(qa, sa, qb, sb, *, bm: int = 512, bn: int = 512,
-                bk: int = 2048, interpret: bool | None = None):
+def mmult_q_noc(qa, sa, qb, sb, *, bm: int | None = None,
+                bn: int | None = None, bk: int | None = None,
+                interpret: bool | None = None):
     """y = dequant(QA @ QB), no C accumulate (serving fast path)."""
     m = qa.shape[0]
     n = qb.shape[1]
+    abm, abn, abk = choose_blocks_q(m, n, qa.shape[1])
+    bm, bn, bk = bm or abm, bn or abn, bk or abk
     qa = bounds.pad_dim(bounds.pad_dim(qa, 0, bm), 1, bk)
     qb = bounds.pad_dim(bounds.pad_dim(qb, 0, bk), 1, bn)
     sa = bounds.pad_dim(sa, 0, bm)
