@@ -15,7 +15,10 @@ import json
 import sys
 
 REFERENCE_BEST_GFLOPS = 22418.0  # cuda_12 sweep peak (BASELINE.md)
-RUNG = "06_pallas_int8"
+# The int8 ladder top: hand Pallas rungs + the XLA vendor rung, exactly the
+# population of the reference's headline chart (custom rungs AND cuBLAS,
+# README.md:96-102). Peak = best correctness-gated rung over the sweep.
+RUNGS = ("06_pallas_int8", "06v_xla_int8", "11_strip_resident_int8")
 SIZES = (2048, 4096)
 
 
@@ -24,17 +27,21 @@ def main() -> None:
     from how_to_optimize_gemm_tpu.harness.parameters import SweepConfig
 
     peak = 0.0
-    for p in SIZES:
-        cfg = SweepConfig(pfirst=p, plast=p, pinc=1, nrepeats=8, warmup=1)
-        rows = run_sweep(RUNG, cfg, verbose=False)
-        for r in rows:
-            print(f"# {RUNG} p={r.p} {r.gflops:.1f} GFLOPS "
-                  f"(kernel_rel={r.kernel_rel:.2e})", file=sys.stderr)
-            peak = max(peak, r.gflops)
+    best = None
+    for rung in RUNGS:
+        for p in SIZES:
+            cfg = SweepConfig(pfirst=p, plast=p, pinc=1, nrepeats=8,
+                              warmup=1)
+            rows = run_sweep(rung, cfg, verbose=False)
+            for r in rows:
+                print(f"# {rung} p={r.p} {r.gflops:.1f} GFLOPS "
+                      f"(kernel_rel={r.kernel_rel:.2e})", file=sys.stderr)
+                if r.gflops > peak:
+                    peak, best = r.gflops, rung
 
     print(json.dumps({
-        "metric": f"peak int8 dequant-GEMM GFLOPS ({RUNG}, M=N=K sweep, "
-                  "1 chip)",
+        "metric": f"peak int8 dequant-GEMM GFLOPS (best rung: {best}, "
+                  "M=N=K sweep, 1 chip)",
         "value": round(peak, 1),
         "unit": "GFLOPS",
         "vs_baseline": round(peak / REFERENCE_BEST_GFLOPS, 3),

@@ -72,13 +72,15 @@ def run_sweep(rung_name: str, config: SweepConfig | None = None,
                 raise oracle.DiffGateError(msg)
             print("WARNING:", msg)
 
-        # via-B chaining needs square shapes; fall back (with its hoisting
-        # caveat, see utils/timing.py) for pinned rectangular sweeps.
-        via_b = rung.chain_via_b and m == n == k
+        # via-B chaining needs square shapes; barrier mode is the
+        # hoisting-safe fallback for rectangular pinned sweeps.
+        mode = rung.chain
+        if mode == "via_b" and not (m == n == k):
+            mode = "barrier"
         best = time_chained(rung.run, prepared, c,
                             inner_iters=config.nrepeats,
                             outer_repeats=3, warmup=config.warmup,
-                            chain_via_b=via_b)
+                            chain=mode)
         gflops = 2.0 * m * n * k / best / 1e9
         p = max(m, n, k)
         rows.append(SweepRow(p=p, m=m, n=n, k=k, gflops=gflops,

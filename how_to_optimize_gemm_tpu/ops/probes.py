@@ -184,6 +184,82 @@ def vpu_peak_gflops(size: int = 512, n_iters: int = 40000,
     return 2.0 * fma_per_iter * x.size * n_iters / best / 1e9
 
 
+def _chunk_kernel(rows: int, cols: int, nchunks: int, nj: int, reps: int):
+    def kernel(x_hbm, o_ref, buf, sems):
+        def dma(slot, t):
+            ii = t // nj
+            jj = jax.lax.rem(t, nj)
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(ii * rows, rows), pl.ds(jj * cols, cols)],
+                buf.at[slot], sems.at[slot])
+
+        def touch(slot):
+            # Consume a sliver so the copies can't be elided (int8 scalar
+            # extracts don't lower; reduce a tile instead).
+            return jnp.sum(buf[slot, :8, :128].astype(jnp.int32))
+
+        def outer(r, acc):
+            dma(0, 0).start()
+
+            @pl.when(nchunks > 1)
+            def _():
+                dma(1, 1).start()
+
+            def body(u, av):
+                t0 = 2 * u
+                t1 = t0 + 1
+                dma(0, t0).wait()
+                av += touch(0)
+
+                @pl.when(t0 + 2 < nchunks)
+                def _():
+                    dma(0, t0 + 2).start()
+
+                dma(1, t1).wait()
+                av += touch(1)
+
+                @pl.when(t1 + 2 < nchunks)
+                def _():
+                    dma(1, t1 + 2).start()
+                return av
+
+            return jax.lax.fori_loop(0, nchunks // 2, body, acc)
+
+        o_ref[0, 0] = jax.lax.fori_loop(0, reps, outer, jnp.int32(0))
+    return kernel
+
+
+def dma_chunk_bandwidth_gbps(rows: int, cols: int, parent: int = 4096,
+                             reps: int = 256,
+                             interpret: bool | None = None) -> float:
+    """HBM->VMEM read bandwidth for (rows, cols) int8 chunks DMA'd out of
+    a row-major (parent, parent) array with double-buffered manual copies.
+
+    The probe behind rung 10's transposed-B packing: chunk GEOMETRY, not
+    just chunk size, sets DMA throughput (v5e measured: (1024, 2048)
+    chunks 827 GB/s; (2048, 1024) 524; (1024, 1024) 599) — the TPU
+    counterpart of the reference measuring gmem burst behavior in
+    ``vulkan/benchmark/gmem_bandwidth.cpp``."""
+    ni, nj = parent // rows, parent // cols
+    nchunks = ni * nj
+    x = jnp.ones((parent, parent), jnp.int8)
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            _chunk_kernel(rows, cols, nchunks, nj, reps),
+            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            scratch_shapes=[pltpu.VMEM((2, rows, cols), jnp.int8),
+                            pltpu.SemaphoreType.DMA((2,))],
+            interpret=default_interpret(interpret),
+        )(x)
+
+    best = measure(lambda: run(x), repeats=3, warmup=1)
+    return parent * parent * reps / best / 1e9
+
+
 # Published single-chip ceilings for TPU v5e (plot fallback when probes
 # can't run, e.g. in docs builds): bf16 197 TFLOPS, int8 394 TOPS,
 # HBM ~819 GB/s.
@@ -206,6 +282,10 @@ def main():
          lambda: vpu_peak_gflops(dependent=False)),
         ("HBM r+w bandwidth (pallas)", hbm_bandwidth_gbps),
         ("HBM r+w bandwidth (XLA)", xla_stream_bandwidth_gbps),
+        ("DMA chunk bandwidth 1024x2048",
+         lambda: dma_chunk_bandwidth_gbps(1024, 2048)),
+        ("DMA chunk bandwidth 2048x1024",
+         lambda: dma_chunk_bandwidth_gbps(2048, 1024)),
     ]:
         unit = "GB/s" if "bandwidth" in name else "GFLOPS"
         print(f"{name:30s} {fn():12.1f} {unit}")

@@ -24,6 +24,7 @@ from how_to_optimize_gemm_tpu.ops import (
     pallas_int4,
     pallas_int8,
     pallas_k_blocked,
+    pallas_manual_dma,
     pallas_mn_tile,
     pallas_tuned,
     quant,
@@ -42,12 +43,12 @@ class Rung:
     doc: str
     regression: bool = False         # honest negative result, kept on ladder
     bytes_per_input_elt: float = 4.0  # for roofline/bandwidth accounting
-    # Benchmark chaining policy: rungs whose GEMM is plain XLA ops MUST be
-    # chained through the B operand (C_{i+1} = A @ C_i + C) or XLA hoists
-    # the loop-invariant matmul out of the timing loop (see
-    # utils/timing.time_chained). True for any (a, b, c) rung with fp32
-    # B; quantized rungs carry through the accumulator instead.
-    chain_via_b: bool = False
+    # Benchmark chaining policy (utils/timing.time_chained): "acc" carries
+    # the C accumulator (honest for Pallas custom calls only), "via_b"
+    # feeds C back as the B operand (plain-XLA fp32/bf16 rungs — defeats
+    # loop-invariant hoisting), "barrier" keeps operands loop-carried
+    # behind an optimization_barrier (plain-XLA quantized rungs).
+    chain: str = "acc"
 
 
 def _identity_prepare(a, b):
@@ -99,42 +100,42 @@ _register(Rung(
     run=lambda a, b, c, **kw: naive_vpu.mmult(a, b, c),
     prepare=_identity_prepare, effective=_identity_effective,
     gate_rel=1e-4,
-    doc="naive rank-1 loop, VPU only (MMult0 analogue)", chain_via_b=True))
+    doc="naive rank-1 loop, VPU only (MMult0 analogue)", chain="via_b"))
 
 _register(Rung(
     name="01_xla_fp32", dtype="fp32",
     run=lambda a, b, c, **kw: xla_dot.mmult(a, b, c),
     prepare=_identity_prepare, effective=_identity_effective,
     gate_rel=1e-4,
-    doc="XLA native dot fp32 (cuBLAS_1 vendor bar)", chain_via_b=True))
+    doc="XLA native dot fp32 (cuBLAS_1 vendor bar)", chain="via_b"))
 
 _register(Rung(
     name="01b_xla_bf16", dtype="bf16",
     run=lambda a, b, c, **kw: xla_dot.mmult_bf16(a, b, c),
     prepare=_bf16_prepare, effective=_identity_effective,
     gate_rel=1e-3, bytes_per_input_elt=2.0,
-    doc="XLA native dot bf16 (cuBLAS_2 GemmEx analogue)", chain_via_b=True))
+    doc="XLA native dot bf16 (cuBLAS_2 GemmEx analogue)", chain="via_b"))
 
 _register(Rung(
     name="02_pallas_mn_tile", dtype="fp32",
     run=pallas_mn_tile.mmult,
     prepare=_identity_prepare, effective=_identity_effective,
     gate_rel=1e-4,
-    doc="Pallas, one (bm,bn) C tile per program, full-K strips (cuda_3)", chain_via_b=True))
+    doc="Pallas, one (bm,bn) C tile per program, full-K strips (cuda_3)", chain="via_b"))
 
 _register(Rung(
     name="03_pallas_k_blocked", dtype="fp32",
     run=pallas_k_blocked.mmult,
     prepare=_identity_prepare, effective=_identity_effective,
     gate_rel=1e-4,
-    doc="Pallas, 3D grid + fp32 VMEM accumulator (4x4_10-12 / cuda_9)", chain_via_b=True))
+    doc="Pallas, 3D grid + fp32 VMEM accumulator (4x4_10-12 / cuda_9)", chain="via_b"))
 
 _register(Rung(
     name="03b_pallas_small_blocks", dtype="fp32",
     run=lambda a, b, c, **kw: pallas_k_blocked.mmult(
         a, b, c, bm=128, bn=128, bk=128, **kw),
     prepare=_identity_prepare, effective=_identity_effective,
-    gate_rel=1e-4, regression=True, chain_via_b=True,
+    gate_rel=1e-4, regression=True, chain="via_b",
     doc="REGRESSION (kept honestly, like cuda_6/4x4_15/vk_3): 128^3 "
         "blocks maximize grid parallelism but cut arithmetic intensity "
         "per VMEM byte 4x and multiply pipeline ramp overhead — slower "
@@ -145,14 +146,23 @@ _register(Rung(
     run=pallas_tuned.mmult,
     prepare=_identity_prepare, effective=_identity_effective,
     gate_rel=1e-4,
-    doc="Pallas, VMEM-capacity-derived blocks + pipeline hints (4x4_13/14)", chain_via_b=True))
+    doc="Pallas, VMEM-capacity-derived blocks + pipeline hints (4x4_13/14)", chain="via_b"))
 
 _register(Rung(
     name="05_pallas_bf16", dtype="bf16",
     run=pallas_tuned.mmult_bf16,
     prepare=_bf16_prepare, effective=_identity_effective,
     gate_rel=1e-3, bytes_per_input_elt=2.0,
-    doc="Pallas bf16 operands, fp32 accumulate (MXU-native width)", chain_via_b=True))
+    doc="Pallas bf16 operands, fp32 accumulate (MXU-native width)", chain="via_b"))
+
+_register(Rung(
+    name="06v_xla_int8", dtype="int8",
+    run=lambda qa, sa, qb, sb, c, **kw: xla_dot.mmult_int8(qa, sa, qb,
+                                                           sb, c),
+    prepare=pallas_int8.prepare, effective=_int8_effective,
+    gate_rel=1e-4, bytes_per_input_elt=1.0, chain="barrier",
+    doc="int8 vendor bar: XLA's own int8 dot + dequant (the cuBLAS line "
+        "rung 06 must beat)"))
 
 _register(Rung(
     name="06_pallas_int8", dtype="int8",
@@ -160,6 +170,58 @@ _register(Rung(
     prepare=pallas_int8.prepare, effective=_int8_effective,
     gate_rel=1e-4, bytes_per_input_elt=1.0,
     doc="int8 symmetric [-127,127], int32 acc, fused dequant (chgemm)"))
+
+_register(Rung(
+    name="08_manual_dma_int8", dtype="int8",
+    run=lambda qa, sa, qb, sb, c, **kw: pallas_manual_dma.mmult_q(
+        qa, sa, qb, sb, c, **kw),
+    prepare=pallas_int8.prepare, effective=_int8_effective,
+    gate_rel=1e-4, bytes_per_input_elt=1.0,
+    doc="hand-rolled HBM->VMEM DMA ping-pong, K loop in-kernel "
+        "(cuda_8/11/12 + 4x4_17/21 analogue; rung 06 semantics)"))
+
+_register(Rung(
+    name="09_fat_tile_int8", dtype="int8",
+    run=lambda qa, sa, qb, sb, c, **kw: pallas_manual_dma.mmult_q_fat(
+        qa, sa, qb, sb, c, **kw),
+    prepare=pallas_int8.prepare, effective=_int8_effective,
+    gate_rel=1e-4, bytes_per_input_elt=1.0,
+    doc="1024x1024 C tiles via hand-managed buffers (single-buffered C "
+        "fetch + cross-program writeback overlap) — halves A/B reloads "
+        "vs rung 06; the shape the auto-pipeliner cannot fit"))
+
+def _packed_effective(ops):
+    qa, sa, qbt, sb = ops
+    return quant.dequantize(qa, sa), quant.dequantize(qbt.T, sb)
+
+
+_register(Rung(
+    name="10_packed_fat_int8", dtype="int8",
+    run=lambda qa, sa, qbt, sb, c, **kw: pallas_manual_dma.mmult_q_packed(
+        qa, sa, qbt, sb, c, **kw),
+    prepare=pallas_manual_dma.prepare_packed, effective=_packed_effective,
+    gate_rel=1e-4, bytes_per_input_elt=1.0,
+    doc="rung 09 + offline-transposed B (PackMatrixB analogue): both "
+        "operands DMA as the measured-fastest chunk geometry"))
+
+_register(Rung(
+    name="11_strip_resident_int8", dtype="int8",
+    run=lambda qa, sa, qbt, sb, c, **kw: pallas_manual_dma.mmult_q_strip(
+        qa, sa, qbt, sb, c, **kw),
+    prepare=pallas_manual_dma.prepare_packed, effective=_packed_effective,
+    gate_rel=1e-4, bytes_per_input_elt=1.0,
+    doc="rung 10 + row-resident A strips (packA-reuse analogue, "
+        "MMult_4x4_12.cpp:52-82): A fetched once per tile row"))
+
+_register(Rung(
+    name="12_resident_int8", dtype="int8",
+    run=lambda qa, sa, qbt, sb, c, **kw: pallas_manual_dma.mmult_q_resident(
+        qa, sa, qbt, sb, c, **kw),
+    prepare=pallas_manual_dma.prepare_packed, effective=_packed_effective,
+    gate_rel=1e-4, bytes_per_input_elt=1.0,
+    doc="operand-resident VMEM, fully static single program: HBM traffic "
+        "at the information floor (A+B once); falls back to rung 11 when "
+        "operands don't fit"))
 
 _register(Rung(
     name="07_pallas_int4", dtype="int4",

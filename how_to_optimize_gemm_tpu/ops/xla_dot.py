@@ -27,3 +27,17 @@ def mmult_bf16(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     ``cuda/MMult_cuBLAS_2.cpp:16-25`` — same op, explicit compute type)."""
     return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
                    preferred_element_type=jnp.float32) + c
+
+
+@jax.jit
+def mmult_int8(qa, sa, qb, sb, c):
+    """int8 vendor bar: XLA's own int8 x int8 -> int32 dot + dequant.
+
+    The performance bar the hand-written int8 Pallas rung (06) must beat —
+    the exact relationship of ``MMult_cuda_12`` to ``cublasSgemm``
+    (``cuda/MMult_cuBLAS_1.cpp:17-18``, README.md:96-102), restated for
+    the quantized ladder. Same pre-quantized operands and fused rank-1
+    dequant semantics as rung 06."""
+    acc = jax.lax.dot_general(qa, qb, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * sa * sb + c

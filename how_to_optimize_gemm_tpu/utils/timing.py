@@ -88,23 +88,33 @@ def time_chained(run: Callable[..., jax.Array], prepared: tuple,
                  c: jax.Array, inner_iters: int = 8,
                  outer_repeats: int = 3, warmup: int = 1,
                  target_s: float = 0.5, max_iters: int = 4096,
-                 chain_via_b: bool = False) -> float:
+                 chain_via_b: bool = False,
+                 chain: str | None = None) -> float:
     """Per-call seconds for ``run(*prepared, c)`` (see module docstring).
 
     The chain length auto-scales until the chained work dominates the
     dispatch round trip (target_s of device time), otherwise the
     overhead subtraction is noise at small problem sizes.
 
-    chain_via_b: carry the loop state through the B OPERAND
-    (``C_{i+1} = A @ C_i + C``, square shapes only) instead of through the
-    accumulator. Mandatory for rungs built from plain XLA ops: with the
-    default carry, ``A @ B`` is loop-invariant and XLA hoists the entire
-    matmul out of the while loop, leaving only the ``+ C`` add in the
-    timed region (observed: a "2.7 PFLOPS" bf16 dot). Pallas rungs are
-    custom calls, which XLA does not hoist, so either mode is honest for
-    them — via-B additionally defeats operand caching of B.
+    chain policies (``chain``, or legacy ``chain_via_b=True`` = "via_b"):
+
+    - "acc" (default): carry through the C accumulator. Honest for Pallas
+      rungs (custom calls, never hoisted); NOT for plain-XLA rungs, where
+      ``A @ B`` is loop-invariant and XLA hoists the entire matmul out of
+      the while loop, leaving only the ``+ C`` add in the timed region
+      (observed: a "2.7 PFLOPS" bf16 dot).
+    - "via_b": carry through the B OPERAND (``C_{i+1} = A @ C_i + C``,
+      square fp32/bf16 shapes only) — defeats hoisting structurally.
+    - "barrier": keep ALL operands in the loop carry behind
+      ``jax.lax.optimization_barrier`` each iteration, so the simplifier
+      cannot prove any operand loop-invariant. Works for any operand
+      structure (quantized/packed rungs included); used by the plain-XLA
+      int8 vendor-bar rung where via-B chaining is shape-impossible.
     """
     overhead = dispatch_overhead_s()
+    if chain is None:
+        chain = "via_b" if chain_via_b else "acc"
+    chain_via_b = chain == "via_b"
 
     if chain_via_b:
         # Contractive rescale of A (timing-only copy, same shape/dtype/
@@ -124,13 +134,22 @@ def time_chained(run: Callable[..., jax.Array], prepared: tuple,
     def make(iters):
         @jax.jit
         def chained(ops, cin, c0):
-            if chain_via_b:
-                def body(_, cc):
-                    return run(ops[0], cc, cin)
+            if chain == "barrier":
+                def body(_, carry):
+                    ops_, cc = carry
+                    out = run(*ops_, cc)
+                    # Re-barrier the operands each iteration: they stay
+                    # loop-carried, so licm can't hoist the matmul.
+                    return (jax.lax.optimization_barrier(ops_), out)
+                _, out = jax.lax.fori_loop(0, iters, body, (ops, c0))
             else:
-                def body(_, cc):
-                    return run(*ops, cc)
-            out = jax.lax.fori_loop(0, iters, body, c0)
+                if chain_via_b:
+                    def body(_, cc):
+                        return run(ops[0], cc, cin)
+                else:
+                    def body(_, cc):
+                        return run(*ops, cc)
+                out = jax.lax.fori_loop(0, iters, body, c0)
             # Scalar reduction: the flush fetch depends on every element.
             return jnp.sum(out)
         return chained
