@@ -14,6 +14,7 @@
 // Loaded from Python via ctypes (utils/native.py); no pybind11 needed.
 
 #include <cstdint>
+#include <cstdio>
 #include <ctime>
 
 extern "C" {
@@ -80,6 +81,45 @@ void htog_fill_uniform(float* buf, std::int64_t count, std::uint64_t seed,
         double u = static_cast<double>(r >> 11) * (1.0 / 9007199254740992.0);
         buf[i] = static_cast<float>(2.0 * u - 1.0);
     }
+}
+
+// Octave-style .m result writer — native tier of the L4 data layer
+// (format: aarch64/makefile:41-44 + committed output_*.m files).
+// rows = count * 3 doubles: (size, gflops, diff). Returns 0 on success.
+int htog_write_mfile(const char* path, const char* version,
+                     const double* rows, std::int64_t count) {
+    std::FILE* f = std::fopen(path, "w");
+    if (!f) return -1;
+    std::fprintf(f, "version = '%s';\nMY_MMult = [\n", version);
+    for (std::int64_t i = 0; i < count; ++i) {
+        std::fprintf(f, "%d %e %e\n", static_cast<int>(rows[3 * i]),
+                     rows[3 * i + 1], rows[3 * i + 2]);
+    }
+    std::fprintf(f, "];\n");
+    return std::fclose(f) == 0 ? 0 : -1;
+}
+
+// Parse an .m file written by htog_write_mfile (or the reference's
+// makefiles): fills up to max_rows * 3 doubles, returns the row count
+// (or -1 on open failure). Skips header/footer/junk lines the same way
+// aarch64/plot.py:4-25 does.
+std::int64_t htog_read_mfile(const char* path, double* rows,
+                             std::int64_t max_rows) {
+    std::FILE* f = std::fopen(path, "r");
+    if (!f) return -1;
+    char line[512];
+    std::int64_t n = 0;
+    while (n < max_rows && std::fgets(line, sizeof line, f)) {
+        double p, g, d;
+        if (std::sscanf(line, "%lf %lf %lf", &p, &g, &d) == 3) {
+            rows[3 * n] = p;
+            rows[3 * n + 1] = g;
+            rows[3 * n + 2] = d;
+            ++n;
+        }
+    }
+    std::fclose(f);
+    return n;
 }
 
 }  // extern "C"

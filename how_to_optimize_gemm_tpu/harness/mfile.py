@@ -19,9 +19,17 @@ import pathlib
 
 def write_mfile(path, version: str,
                 rows: list[tuple[int, float, float]]) -> None:
-    """rows: (size p, gflops, diff)."""
+    """rows: (size p, gflops, diff). Uses the native (C++) writer when
+    the csrc/ library is available — the L4 data layer's native tier —
+    with a pure-Python fallback."""
     path = pathlib.Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
+    try:
+        from how_to_optimize_gemm_tpu.utils.native import native_write_mfile
+        native_write_mfile(path, version, rows)
+        return
+    except Exception:
+        pass
     lines = [f"version = '{version}';", "MY_MMult = ["]
     for p, gflops, diff in rows:
         lines.append(f"{p} {gflops:e} {diff:e}")

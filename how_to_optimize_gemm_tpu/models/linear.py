@@ -64,12 +64,20 @@ def apply_linear(lin: dict[str, Any], x: jnp.ndarray,
     use_pallas None = auto (pallas kernels on TPU, XLA emulation off-TPU,
     where "emulation" is bit-compatible dequant + dot — NOT interpret-mode
     pallas, which is far too slow inside full models).
+
+    The auto policy is also M-aware for int8: at decode shapes (a handful
+    of rows) the ladder kernels pad M to the 128-row MXU tile and pay a
+    launch per linear, while XLA fuses its dequant+dot into the
+    surrounding graph — measured 2399 vs 1771 tok/s at batch 8 on v5e.
+    int4 stays on Pallas at every M: its in-kernel nibble decode beats
+    XLA's materialized dequant (2603 vs 1577 tok/s).
     """
-    if use_pallas is None:
-        use_pallas = on_tpu()
     kind = linear_kind(lin)
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
+    if use_pallas is None:
+        m_large = x2.shape[0] >= 256
+        use_pallas = on_tpu() and (kind == "int4" or m_large)
 
     if kind == "fp32":
         y = jnp.dot(x2, lin["fp32_w"], preferred_element_type=jnp.float32)

@@ -136,6 +136,10 @@ def mmult_q_noc(a, packed, sw, *, bm: int | None = None,
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # The multi-pack-block nibble decode holds a few extra slices
+            # on the Mosaic stack; the default ~14 MB scoped limit is a
+            # default, not the hardware (v5e has ~128 MB physical VMEM).
+            vmem_limit_bytes=24 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * kp,
@@ -196,6 +200,10 @@ def mmult_q(a, packed, sw, c, *, bm: int | None = None,
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # The multi-pack-block nibble decode holds a few extra slices
+            # on the Mosaic stack; the default ~14 MB scoped limit is a
+            # default, not the hardware (v5e has ~128 MB physical VMEM).
+            vmem_limit_bytes=24 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * kp,

@@ -716,11 +716,18 @@ def _make_resident_kernel(bm: int, bn: int, bk: int,
     (A + B + C + out = 168 MB at p=4096 vs 268-402 MB for rungs 06-11),
     and with it the kernel crosses decisively into compute-bound.
 
-    This is the hypothesis for how XLA's own int8 dot reaches 360 TOPS at
-    p=4096 where every streaming schedule stalls at ~275: not better
-    overlap — less traffic. Larger problems fall back to rung 11
-    (`mmult_q_strip`) in the wrapper, the reference's own pattern of
-    shape-asserting its final rungs (``MMult_4x4_21.cpp:192``)."""
+    This was the hypothesis for how XLA's own int8 dot reaches 360 TOPS
+    at p=4096 where every streaming schedule stalls at ~275: not better
+    overlap — less traffic. MEASURED RESULT: the hypothesis fails —
+    190/218 TOPS (p=2048/4096), WORSE than the streaming rungs. Slicing
+    MXU operands out of a large resident VMEM array is not free the way
+    consuming a compact chunk buffer is: each (bm, bk) view costs a
+    staging pass that outweighs the HBM traffic saved. Kept on the
+    ladder as an honest negative result (the reference keeps cuda_6,
+    4x4_15 and vk_3 for the same reason). Larger problems fall back to
+    rung 11 (`mmult_q_strip`) in the wrapper, the reference's own
+    pattern of shape-asserting its final rungs
+    (``MMult_4x4_21.cpp:192``)."""
     gi, gj, nk = mp // bm, np_ // bn, kp // bk
     ntiles = gi * gj
 

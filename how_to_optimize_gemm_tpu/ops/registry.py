@@ -218,10 +218,12 @@ _register(Rung(
     run=lambda qa, sa, qbt, sb, c, **kw: pallas_manual_dma.mmult_q_resident(
         qa, sa, qbt, sb, c, **kw),
     prepare=pallas_manual_dma.prepare_packed, effective=_packed_effective,
-    gate_rel=1e-4, bytes_per_input_elt=1.0,
-    doc="operand-resident VMEM, fully static single program: HBM traffic "
-        "at the information floor (A+B once); falls back to rung 11 when "
-        "operands don't fit"))
+    gate_rel=1e-4, bytes_per_input_elt=1.0, regression=True,
+    doc="REGRESSION (kept honestly, like cuda_6): operand-resident VMEM "
+        "single program reaches the HBM-traffic floor but measures "
+        "190/218 TOPS (p=2048/4096) — MXU operands sliced out of big "
+        "resident buffers cost staging copies that outweigh the saved "
+        "traffic. Falls back to rung 11 when operands don't fit"))
 
 _register(Rung(
     name="07_pallas_int4", dtype="int4",

@@ -153,3 +153,52 @@ def decode_tokens_per_sec(cfg, params, batch: int = 8, steps: int = 32,
     best = measure(lambda: chain(params, cache, tokens, pos), repeats=3,
                    warmup=1)
     return batch * steps / best
+
+
+def main(argv=None):
+    """Measure steady-state decode tokens/s on the current backend.
+
+    The serving-throughput slot of BASELINE.json's north star: quantized
+    decode at fixed batch. Weight streaming bounds decode, so tokens/s ~
+    batch * HBM_BW / weight_bytes — the measurement to compare against
+    that roofline."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--weight-kind", default="int8",
+                    choices=["fp32", "bf16", "int8", "int4"])
+    ap.add_argument("--d-model", type=int, default=2048)
+    ap.add_argument("--n-layers", type=int, default=22)
+    ap.add_argument("--d-ff", type=int, default=5632)
+    ap.add_argument("--n-heads", type=int, default=32)
+    ap.add_argument("--n-kv-heads", type=int, default=4)
+    ap.add_argument("--vocab", type=int, default=32000)
+    ap.add_argument("--max-seq", type=int, default=2048)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=256)
+    ap.add_argument("--use-pallas", action="store_true", default=None)
+    args = ap.parse_args(argv)
+
+    cfg = llama.LlamaConfig(
+        vocab=args.vocab, d_model=args.d_model, n_layers=args.n_layers,
+        n_heads=args.n_heads, n_kv_heads=args.n_kv_heads, d_ff=args.d_ff,
+        max_seq=args.max_seq, weight_kind=args.weight_kind)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    tps = decode_tokens_per_sec(cfg, params, batch=args.batch,
+                                steps=args.steps,
+                                use_pallas=args.use_pallas)
+    wbytes = {"fp32": 4, "bf16": 2, "int8": 1, "int4": 0.5}[
+        args.weight_kind]
+    nparam = (cfg.vocab * cfg.d_model * 2
+              + cfg.n_layers * (cfg.d_model * (cfg.n_heads
+                                               + 2 * cfg.n_kv_heads)
+                                * cfg.d_head
+                                + cfg.n_heads * cfg.d_head * cfg.d_model
+                                + 3 * cfg.d_model * cfg.d_ff))
+    print(f"decode tokens/s: {tps:.1f} "
+          f"(batch={args.batch}, {args.weight_kind}, "
+          f"~{nparam * wbytes / 1e9:.2f} GB weights)")
+
+
+if __name__ == "__main__":
+    main()

@@ -40,6 +40,13 @@ def _load():
     lib.htog_fill_uniform.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_uint64,
         ctypes.c_int, ctypes.c_float]
+    lib.htog_write_mfile.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+    lib.htog_write_mfile.restype = ctypes.c_int
+    lib.htog_read_mfile.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+    lib.htog_read_mfile.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -65,6 +72,33 @@ def native_compare(out: np.ndarray, ref: np.ndarray, denom: float,
         ctypes.byref(max_abs), ctypes.byref(fi), ctypes.byref(fj))
     first = (fi.value, fj.value) if fi.value >= 0 else None
     return max_abs.value, first
+
+
+def native_write_mfile(path: str, version: str,
+                       rows: list[tuple[int, float, float]]) -> None:
+    lib = _load()
+    flat = np.array([[p, g, d] for p, g, d in rows],
+                    np.float64).reshape(-1)
+    if flat.size == 0:
+        flat = np.zeros(0, np.float64)
+    rc = lib.htog_write_mfile(
+        str(path).encode(), version.encode(),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(rows))
+    if rc != 0:
+        raise OSError(f"htog_write_mfile({path}) failed")
+
+
+def native_read_mfile(path: str, max_rows: int = 4096
+                      ) -> list[tuple[int, float, float]]:
+    lib = _load()
+    buf = np.zeros(max_rows * 3, np.float64)
+    n = lib.htog_read_mfile(
+        str(path).encode(),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), max_rows)
+    if n < 0:
+        raise OSError(f"htog_read_mfile({path}) failed")
+    return [(int(buf[3 * i]), float(buf[3 * i + 1]), float(buf[3 * i + 2]))
+            for i in range(n)]
 
 
 def native_fill(count: int, seed: int = 0, constant: float | None = None

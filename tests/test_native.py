@@ -45,3 +45,28 @@ def test_native_fill_uniform():
     np.testing.assert_array_equal(x, y)     # deterministic per seed
     z = native_fill(4, constant=1.0)
     np.testing.assert_array_equal(z, np.ones(4, np.float32))
+
+
+def test_native_mfile_roundtrip(tmp_path):
+    from how_to_optimize_gemm_tpu.utils.native import (
+        native_read_mfile, native_write_mfile)
+    rows = [(48, 10.22, 0.0), (96, 123.456, 1e-07)]
+    p = tmp_path / "out.m"
+    native_write_mfile(p, "rung_x", rows)
+    text = p.read_text()
+    assert text.startswith("version = 'rung_x';")  # reference L4 format
+    assert text.rstrip().endswith("];")
+    back = native_read_mfile(p)
+    assert back == rows
+
+
+def test_native_mfile_reads_python_written(tmp_path):
+    # cross-compatibility: the native parser reads the Python writer's
+    # files and vice versa (one on-disk format, two tiers)
+    from how_to_optimize_gemm_tpu.harness import mfile
+    from how_to_optimize_gemm_tpu.utils.native import native_read_mfile
+    rows = [(128, 1.5, 2e-08)]
+    p = tmp_path / "py.m"
+    mfile.write_mfile(p, "rung_y", rows)
+    assert native_read_mfile(p) == rows
+    assert mfile.read_mfile(p)[1] == rows
