@@ -170,9 +170,16 @@ def _attention(q, k, v, mask):
     return out.reshape(b, s, h * d)
 
 
-def _update_cache(cache, new, pos):
-    """cache (B,T,H,D) <- new (B,S,H,D) at position pos (scalar or (B,))."""
+def _update_cache(cache, new, pos, write_mask=None):
+    """cache (B,T,H,D) <- new (B,S,H,D) at position pos (scalar or (B,)).
+
+    write_mask (B,) bool: slots with False keep their cache untouched —
+    the mechanism behind single-call batched prefill (one slot writes its
+    whole prompt; live slots are unaffected)."""
     new = new.astype(cache.dtype)
+    if write_mask is not None:
+        updated = _update_cache(cache, new, pos)
+        return jnp.where(write_mask[:, None, None, None], updated, cache)
     if jnp.ndim(pos) == 0:
         return jax.lax.dynamic_update_slice_in_dim(cache, new, pos, axis=1)
     if new.shape[1] == 1:
@@ -190,7 +197,7 @@ def _update_cache(cache, new, pos):
 
 
 def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
-           use_pallas=None):
+           use_pallas=None, write_mask=None):
     """One transformer block. kv None = full-sequence (training/prefill
     without cache); kv = (k_cache, v_cache, pos) for decode, pos scalar or
     per-slot (B,) vector (continuous batching)."""
@@ -209,8 +216,8 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
         attn = _attention(q, k, v, mask)
     else:
         k_cache, v_cache, pos = kv
-        k_cache = _update_cache(k_cache, k, pos)
-        v_cache = _update_cache(v_cache, v, pos)
+        k_cache = _update_cache(k_cache, k, pos, write_mask)
+        v_cache = _update_cache(v_cache, v, pos, write_mask)
         t = k_cache.shape[1]
         # valid[t'] = t' <= pos + offset for each query offset
         q_pos = (pos[..., None] if jnp.ndim(pos) else pos) + jnp.arange(s)
@@ -253,9 +260,11 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16):
 
 
 def decode_step(params, cfg: LlamaConfig, cache, tokens: jnp.ndarray,
-                pos: jnp.ndarray, use_pallas: bool | None = None):
+                pos: jnp.ndarray, use_pallas: bool | None = None,
+                write_mask: jnp.ndarray | None = None):
     """One decode step: tokens (B, S) at position pos (scalar or per-slot
-    (B,) vector) -> (logits, cache)."""
+    (B,) vector) -> (logits, cache). write_mask (B,) bool restricts which
+    slots' caches are written (used by batched prefill)."""
     b, s = tokens.shape
     x = params["embed"][tokens]
     positions = (pos[..., None] if jnp.ndim(pos) else pos) + jnp.arange(s)
@@ -263,7 +272,7 @@ def decode_step(params, cfg: LlamaConfig, cache, tokens: jnp.ndarray,
     new_cache = []
     for layer, (kc, vc) in zip(params["layers"], cache):
         x, kv = _block(layer, cfg, x, cos, sin, kv=(kc, vc, pos),
-                       use_pallas=use_pallas)
+                       use_pallas=use_pallas, write_mask=write_mask)
         new_cache.append(kv)
     x = rmsnorm(x, params["out_norm"], cfg.norm_eps)
     logits = apply_linear(params["lm_head"], x, use_pallas)

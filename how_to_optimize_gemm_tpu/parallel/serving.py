@@ -60,35 +60,55 @@ class ServingEngine:
             nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
             return nxt, cache
 
+        @functools.partial(jax.jit, static_argnames=())
+        def _prefill(params, cache, tokens, pos, write_mask):
+            logits, cache = llama.decode_step(params, cfg, cache, tokens,
+                                              pos, use_pallas,
+                                              write_mask=write_mask)
+            return logits, cache
+
         self._decode = _decode
+        self._prefill = _prefill
         self.cache = llama.init_kv_cache(cfg, batch_slots, cache_dtype)
         self.slot_req: list[Request | None] = [None] * batch_slots
         self.slot_pos = np.zeros(batch_slots, np.int32)
         self.slot_tok = np.zeros(batch_slots, np.int32)
 
     # ------------------------------------------------------------- admin
-    def _admit(self, queue: list[Request]) -> None:
-        """Fill empty slots from the queue (prefill one request/slot).
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Pad prompt lengths to powers of two: one compiled prefill per
+        bucket instead of one per distinct length."""
+        p = 1
+        while p < n:
+            p *= 2
+        return p
 
-        Prefill currently runs the full-batch decode path once per
-        admitted request with right-aligned... — v1: token-by-token
-        prefill through the decode step (correct, not yet fast)."""
+    def _admit(self, queue: list[Request]) -> None:
+        """Fill empty slots from the queue: ONE masked-prefill call per
+        admitted request. The whole prompt goes through decode_step as a
+        (B, P) batch with write_mask selecting the new slot, so live
+        slots' caches are untouched; pad positions write bogus K/V beyond
+        the prompt, which is safe because decode overwrites a position
+        before the causal mask ever exposes it."""
         for s in range(self.batch):
             if self.slot_req[s] is not None or not queue:
                 continue
             req = queue.pop(0)
             self.slot_req[s] = req
-            # feed prompt tokens through decode steps for this slot only
-            for t, tok in enumerate(req.prompt):
-                tokens = np.zeros((self.batch, 1), np.int32)
-                tokens[s, 0] = tok
-                pos = self.slot_pos.copy()
-                pos[s] = t
-                nxt, self.cache = self._decode(
-                    self.params, self.cache, jnp.asarray(tokens),
-                    jnp.asarray(pos))
-            self.slot_pos[s] = len(req.prompt)
-            self.slot_tok[s] = int(np.asarray(nxt)[s])
+            plen = len(req.prompt)
+            bucket = min(self._bucket(plen), self.cfg.max_seq)
+            tokens = np.zeros((self.batch, bucket), np.int32)
+            tokens[s, :plen] = req.prompt
+            pos = self.slot_pos.copy()
+            pos[s] = 0
+            write_mask = np.zeros(self.batch, bool)
+            write_mask[s] = True
+            logits, self.cache = self._prefill(
+                self.params, self.cache, jnp.asarray(tokens),
+                jnp.asarray(pos), jnp.asarray(write_mask))
+            self.slot_pos[s] = plen
+            self.slot_tok[s] = int(jnp.argmax(logits[s, plen - 1]))
             req.out.append(self.slot_tok[s])
 
     # -------------------------------------------------------------- run
