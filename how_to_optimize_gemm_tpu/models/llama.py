@@ -170,6 +170,14 @@ def _attention(q, k, v, mask):
     return out.reshape(b, s, h * d)
 
 
+def _route_flash(use_pallas, s: int, dh: int) -> bool:
+    """Prefill attention routing: the flash kernel wants a full causal
+    self-attention with block-divisible S and a lane-friendly head dim."""
+    from how_to_optimize_gemm_tpu.utils.env import on_tpu
+    enabled = use_pallas if use_pallas is not None else on_tpu()
+    return bool(enabled) and s >= 512 and s % 512 == 0 and dh in (64, 128)
+
+
 def _update_cache(cache, new, pos, write_mask=None):
     """cache (B,T,H,D) <- new (B,S,H,D) at position pos (scalar or (B,)).
 
@@ -213,7 +221,18 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
 
     new_kv = None
     if kv is None:
-        attn = _attention(q, k, v, mask)
+        if _route_flash(use_pallas, s, dh):
+            # Long-context prefill: the Pallas flash kernel streams K/V
+            # blocks with an online softmax — never materializes (S, T)
+            # scores (eager OOMs at S=4096: a 16 GB fp32 score tensor).
+            # Inference-only routing: pallas_call has no autodiff, so
+            # training paths must pass use_pallas=False (they do).
+            from how_to_optimize_gemm_tpu.ops.pallas_attention import (
+                mha_flash)
+            attn = mha_flash(q, k.astype(jnp.bfloat16),
+                             v.astype(jnp.bfloat16), causal=True)
+        else:
+            attn = _attention(q, k, v, mask)
     else:
         k_cache, v_cache, pos = kv
         k_cache = _update_cache(k_cache, k, pos, write_mask)

@@ -1,0 +1,61 @@
+"""Flash attention vs the eager reference (interpret mode).
+
+Oracle pattern of SURVEY.md §4: the streaming kernel is gated against the
+trusted eager implementation (models/llama._attention) on every shape,
+exactly as ladder rungs gate against the fp64 GEMM oracle.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from how_to_optimize_gemm_tpu.models.llama import _attention
+from how_to_optimize_gemm_tpu.ops.pallas_attention import (
+    flash_attention, mha_flash)
+
+
+def _ref(q, k, v, causal):
+    # model-layout eager reference: q (B,S,H,D), k/v (B,T,KVH,D)
+    s, t = q.shape[1], k.shape[1]
+    mask = None
+    if causal:
+        mask = jnp.arange(t)[None, :] <= jnp.arange(s)[:, None]
+    return _attention(q.astype(jnp.float32), k, v, mask)
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 64, 64, 4, 2, 64),     # B, S, T, H, KVH, D
+    (2, 128, 128, 4, 4, 64),
+    (1, 32, 32, 8, 2, 128),
+])
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_matches_eager(shape, causal):
+    b, s, t, h, kvh, d = shape
+    key = jax.random.PRNGKey(hash((shape, causal)) % (2 ** 31))
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, s, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, t, kvh, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, t, kvh, d), jnp.bfloat16)
+
+    ref = _ref(q, k, v, causal)
+    got = mha_flash(q, k, v, causal=causal, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=3e-2)
+
+
+def test_flash_blocked_matches_single_block():
+    # multi-block online softmax == single-block softmax
+    b, h, s, d = 1, 2, 128, 64
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (b, h, s, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.split(key)[0], (b, h, s, d),
+                          jnp.bfloat16)
+    v = jax.random.normal(jax.random.split(key)[1], (b, h, s, d),
+                          jnp.bfloat16)
+    one = flash_attention(q, k, v, causal=True, bq=128, bk=128,
+                          interpret=True)
+    multi = flash_attention(q, k, v, causal=True, bq=32, bk=32,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(one, np.float32),
+                               np.asarray(multi, np.float32),
+                               rtol=0, atol=2e-2)
