@@ -25,8 +25,20 @@ the reference's negative rungs, ``cuda/MMult_cuda_10.cu:62-67``):
     rung 09  + static slots / no temp / x2 unroll     269
     rung 10  + transposed-B pack + acc ping-pong      275
     rung 11  + row-resident A strips                  275
+    rung 12  operand-resident, strided slices         218 (regression)
+    rung 13  operand-resident, pre-tiled blocks       228 (regression)
     XLA int8 dot (the vendor bar, rung 06v)           360
     VMEM-resident acc+=dot probe (same shapes)        389
+
+Rung 12/13's joint discovery: it is not the slicing — ANY config whose
+total VMEM footprint exceeds ~16 MB runs the MXU slower (2048^2 auto
+tiles ~200, resident variants 218-228, asymmetric 512x1024 manual tiles
+~265), while every <=16 MB config lands 260-294. The fast window matches
+Mosaic's default scoped-vmem limit; v5e's larger physical VMEM is
+evidently not uniform. Consequence: traffic-reduction schemes that grow
+the working set cannot beat the streaming rungs, and the remaining gap
+to the XLA emitter (275 vs 360 at p=4096; we WIN at p=2048, 294 vs 270)
+is scheduling inside the <=16 MB regime, not blocking.
 
 Lessons the ladder records: (a) a conditional set-vs-add in the K loop
 makes Mosaic materialize a (bm, bn) int32 temp (+4 MB, one copy pass per
@@ -858,6 +870,163 @@ def mmult_q_resident(qa, sa, qbt, sb, c, *, bm: int | None = None,
                              interpret=interpret)
     return _mmult_q_resident(qa, sa, qbt, sb, c, bm=bm, bn=bn, bk=bk,
                              interpret=interpret)
+
+
+def _make_tiled_resident_kernel(bm: int, bn: int, bk: int,
+                                gi: int, gj: int, nk: int):
+    """Rung 13 kernel: rung 12's residency, PRE-TILED.
+
+    Rung 12 proved residency alone loses: slicing MXU operands out of a
+    big (mp, kp) VMEM array costs a staging pass per chunk. Here the
+    resident buffers are 4D — a_res[i, t] and b_res[j, t] are CONTIGUOUS
+    (bm, bk)/(bn, bk) blocks filled directly by the one-time DMAs, and
+    every dot consumes a whole statically-indexed block, exactly like the
+    streaming rungs' compact chunk buffers. The reference's packA/packB
+    make the same move for the same reason: the panel is REPACKED into
+    the exact layout the micro-kernel consumes, not merely cached
+    (``aarch64/MMult_4x4_13.cpp:235-258``)."""
+    ntiles = gi * gj
+
+    def kernel(qa_hbm, qbt_hbm, sa_ref, sb_ref, c_hbm, o_hbm,
+               a_res, b_res, c_buf, acc_ref, a_sems, b_sems,
+               c_sems, o_sems):
+        def dma_a(i, t):
+            return pltpu.make_async_copy(
+                qa_hbm.at[pl.ds(i * bm, bm), pl.ds(t * bk, bk)],
+                a_res.at[i, t], a_sems.at[i, t])
+
+        def dma_b(j, t):
+            return pltpu.make_async_copy(
+                qbt_hbm.at[pl.ds(j * bn, bn), pl.ds(t * bk, bk)],
+                b_res.at[j, t], b_sems.at[j, t])
+
+        def dma_c(i, j):
+            par = (i * gj + j) % 2
+            return pltpu.make_async_copy(
+                c_hbm.at[pl.ds(i * bm, bm), pl.ds(j * bn, bn)],
+                c_buf.at[par], c_sems.at[par])
+
+        def dma_out(i, j):
+            par = (i * gj + j) % 2
+            return pltpu.make_async_copy(
+                acc_ref.at[par],
+                o_hbm.at[pl.ds(i * bm, bm), pl.ds(j * bn, bn)],
+                o_sems.at[par])
+
+        # One-time tiled loads: every chunk of both operands, issued
+        # up front; waits happen lazily at each chunk's FIRST use, so the
+        # first tile's compute starts as soon as its own chunks land.
+        for i in range(gi):
+            for t in range(nk):
+                dma_a(i, t).start()
+        for j in range(gj):
+            for t in range(nk):
+                dma_b(j, t).start()
+        dma_c(0, 0).start()
+
+        for i in range(gi):
+            for j in range(gj):
+                lin = i * gj + j
+                par = lin % 2
+                if lin + 1 < ntiles:
+                    nxt = lin + 1
+                    dma_c(nxt // gj, nxt % gj).start()
+                if lin >= 2:
+                    prev = lin - 2
+                    dma_out(prev // gj, prev % gj).wait()
+                acc_ref[par] = jnp.zeros_like(acc_ref[par])
+                for t in range(nk):
+                    if j == 0:
+                        dma_a(i, t).wait()
+                    if i == 0:
+                        dma_b(j, t).wait()
+                    acc_ref[par] += jax.lax.dot_general(
+                        a_res[i, t], b_res[j, t],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                dma_c(i, j).wait()
+                val = (acc_ref[par].astype(jnp.float32)
+                       * sa_ref[i * bm:(i + 1) * bm]
+                       * sb_ref[:, j * bn:(j + 1) * bn]
+                       + c_buf[par])
+                acc_ref[par] = jax.lax.bitcast_convert_type(val, jnp.int32)
+                dma_out(i, j).start()
+
+        dma_out(gi - 1, gj - 1).wait()
+        if ntiles >= 2:
+            prev = ntiles - 2
+            dma_out(prev // gj, prev % gj).wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
+def _mmult_q_tiled_resident(qa, sa, qbt, sb, c, *, bm, bn, bk,
+                            interpret: bool | None = None):
+    m, n = c.shape
+    qa = bounds.pad_dim(bounds.pad_dim(qa, 0, bm), 1, bk)
+    qbt = bounds.pad_dim(bounds.pad_dim(qbt, 0, bn), 1, bk)
+    c = bounds.pad_dim(bounds.pad_dim(c, 0, bm), 1, bn)
+    sa = bounds.pad_dim(sa, 0, bm)
+    sb = bounds.pad_dim(sb, 1, bn)
+    mp, kp = qa.shape
+    np_ = qbt.shape[0]
+    gi, gj, nk = mp // bm, np_ // bn, kp // bk
+    out = pl.pallas_call(
+        _make_tiled_resident_kernel(bm, bn, bk, gi, gj, nk),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((gi, nk, bm, bk), jnp.int8),   # tiled-resident A
+            pltpu.VMEM((gj, nk, bn, bk), jnp.int8),   # tiled-resident B^T
+            pltpu.VMEM((2, bm, bn), jnp.float32),     # C tile ping-pong
+            pltpu.VMEM((2, bm, bn), jnp.int32),       # acc ping-pong
+            pltpu.SemaphoreType.DMA((gi, nk)),
+            pltpu.SemaphoreType.DMA((gj, nk)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_ + 2 * mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=default_interpret(interpret),
+    )(qa, qbt, sa, sb, c)
+    out = jax.lax.bitcast_convert_type(out, jnp.float32)
+    return bounds.crop(out, m, n)
+
+
+def mmult_q_tiled_resident(qa, sa, qbt, sb, c, *, bm: int | None = None,
+                           bn: int | None = None, bk: int | None = None,
+                           interpret: bool | None = None):
+    """Rung 13 — C = dequant(QA @ QBt^T) + C, TILED-resident VMEM.
+
+    Falls back to rung 11 (`mmult_q_strip`) when the tiled operands +
+    tile buffers exceed the residency budget."""
+    m, n = c.shape
+    abm, abn, abk = choose_blocks_fat(m, n, qa.shape[1])
+    bm, bn, bk = bm or abm, bn or abn, bk or abk
+    mp = bounds.round_up(m, bm)
+    np_ = bounds.round_up(n, bn)
+    kp = bounds.round_up(qa.shape[1], bk)
+    need = (mp * kp + np_ * kp + 4 * bm * bn * 8)
+    if need > RESIDENT_BUDGET:
+        return mmult_q_strip(qa, sa, qbt, sb, c, bm=bm, bn=bn, bk=bk,
+                             interpret=interpret)
+    return _mmult_q_tiled_resident(qa, sa, qbt, sb, c, bm=bm, bn=bn,
+                                   bk=bk, interpret=interpret)
 
 
 def mmult(a, b, c, *, interpret: bool | None = None):

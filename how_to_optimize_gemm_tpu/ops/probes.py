@@ -80,6 +80,53 @@ def mxu_peak_gflops(dtype=jnp.bfloat16, size: int = 512,
     return 2.0 * size * size * size * n_iters / best / 1e9
 
 
+def _mxu_throughput_kernel(n_iters: int, acc_dtype):
+    def kernel(x_ref, y_ref, o_ref, acc_ref):
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        def body(t, _):
+            # xor-with-t keeps x loop-variant (no hoisting); acc += dot
+            # is the throughput pattern GEMM kernels actually run —
+            # independent MXU passes, unlike the latency-bound serial
+            # chain of mxu_peak_gflops (func1 vs func2, gflops_benchmark).
+            xv = x_ref[:] ^ t.astype(x_ref.dtype)
+            acc_ref[:] += jnp.dot(xv, y_ref[:],
+                                  preferred_element_type=acc_dtype)
+            return 0
+
+        jax.lax.fori_loop(0, n_iters, body, 0)
+        o_ref[:] = acc_ref[:]
+    return kernel
+
+
+def mxu_throughput_gflops(size: int = 1024, n_iters: int = 90000,
+                          repeats: int = 2,
+                          interpret: bool | None = None) -> float:
+    """MXU int8 THROUGHPUT ceiling: independent accumulating matmuls on
+    VMEM-resident tiles (measured 385-390 TOPS on v5e vs ~394 nominal;
+    the serial-chain probe reads ~235 because each matmul waits for the
+    previous). This is the roofline the GEMM ladder is judged against.
+
+    n_iters sized for ~2 s of device time: sub-0.5 s launches are noise
+    behind the axon relay's ±ms round-trip jitter."""
+    x = jnp.ones((size, size), jnp.int8)
+    y = jnp.ones((size, size), jnp.int8)
+
+    @jax.jit
+    def run(x, y):
+        return pl.pallas_call(
+            _mxu_throughput_kernel(n_iters, jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((size, size), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((size, size), jnp.int32)],
+            interpret=default_interpret(interpret),
+        )(x, y)
+
+    best = measure(lambda: run(x, y), repeats=repeats, warmup=1)
+    return 2.0 * size ** 3 * n_iters / best / 1e9
+
+
 def _copy_kernel(src_ref, dst_ref):
     dst_ref[:] = src_ref[:]
 
@@ -260,6 +307,43 @@ def dma_chunk_bandwidth_gbps(rows: int, cols: int, parent: int = 4096,
     return parent * parent * reps / best / 1e9
 
 
+def _vmem_copy_kernel(n_iters: int):
+    def kernel(x_ref, o_ref, buf_ref):
+        def body(t, _):
+            # VMEM->VMEM traffic through the VPU, alternating direction
+            # so neither copy is dead. xor-with-t defeats elision.
+            buf_ref[:] = x_ref[:] ^ t.astype(jnp.int8)
+            o_ref[:] = buf_ref[:]
+            return 0
+        jax.lax.fori_loop(0, n_iters, body, 0)
+    return kernel
+
+
+def vmem_bandwidth_gbps(mbytes: int = 4, n_iters: int = 40000,
+                        repeats: int = 3,
+                        interpret: bool | None = None) -> float:
+    """VMEM read+write bandwidth through VPU copies — the analogue of the
+    reference's shared-memory bandwidth probe
+    (``vulkan/benchmark/smem_bandwidth.cpp``). Both buffers VMEM-resident;
+    each iteration moves 4x the buffer (2 copies x r+w)."""
+    rows = max(mbytes * 1024 * 1024 // 2048 // 2, 8)
+    x = jnp.ones((rows, 2048), jnp.int8)
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            _vmem_copy_kernel(n_iters),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM(x.shape, x.dtype)],
+            interpret=default_interpret(interpret),
+        )(x)
+
+    best = measure(lambda: run(x), repeats=repeats, warmup=1)
+    return 4.0 * x.size * n_iters / best / 1e9
+
+
 # Published single-chip ceilings for TPU v5e (plot fallback when probes
 # can't run, e.g. in docs builds): bf16 197 TFLOPS, int8 394 TOPS,
 # HBM ~819 GB/s.
@@ -275,6 +359,7 @@ def main():
     for name, fn in [
         ("MXU bf16 peak", lambda: mxu_peak_gflops(jnp.bfloat16)),
         ("MXU int8 peak", lambda: mxu_peak_gflops(jnp.int8)),
+        ("MXU int8 throughput", mxu_throughput_gflops),
         ("MXU fp32 (HIGHEST, 6-pass)", lambda: mxu_peak_gflops(jnp.float32)),
         ("VPU fma dependent (func1)",
          lambda: vpu_peak_gflops(dependent=True)),
@@ -286,6 +371,7 @@ def main():
          lambda: dma_chunk_bandwidth_gbps(1024, 2048)),
         ("DMA chunk bandwidth 2048x1024",
          lambda: dma_chunk_bandwidth_gbps(2048, 1024)),
+        ("VMEM r+w bandwidth (VPU copy)", vmem_bandwidth_gbps),
     ]:
         unit = "GB/s" if "bandwidth" in name else "GFLOPS"
         print(f"{name:30s} {fn():12.1f} {unit}")

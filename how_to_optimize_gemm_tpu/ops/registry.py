@@ -226,6 +226,19 @@ _register(Rung(
         "traffic. Falls back to rung 11 when operands don't fit"))
 
 _register(Rung(
+    name="13_tiled_resident_int8", dtype="int8",
+    run=lambda qa, sa, qbt, sb, c, **kw:
+        pallas_manual_dma.mmult_q_tiled_resident(qa, sa, qbt, sb, c, **kw),
+    prepare=pallas_manual_dma.prepare_packed, effective=_packed_effective,
+    gate_rel=1e-4, bytes_per_input_elt=1.0,
+    doc="REGRESSION (kept honestly): rung 12 with operands resident "
+        "PRE-TILED (contiguous per-chunk blocks, static indices) fixes "
+        "the staging copies but still measures 228 TOPS at p=4096 — "
+        "the discovery is that VMEM footprints above ~16 MB slow the "
+        "MXU itself (every >16 MB config regresses; the fast window "
+        "matches Mosaic's default scoped limit)"))
+
+_register(Rung(
     name="07_pallas_int4", dtype="int4",
     run=_int4_run,
     prepare=_int4_prepare, effective=_int4_effective,

@@ -35,3 +35,9 @@ def test_dma_chunk_probe_interpret(rows, cols):
     g = probes.dma_chunk_bandwidth_gbps(rows, cols, parent=1024, reps=1,
                                         interpret=True)
     assert g > 0
+
+
+def test_vmem_probe_interpret():
+    g = probes.vmem_bandwidth_gbps(mbytes=1, n_iters=2, repeats=1,
+                                   interpret=True)
+    assert g > 0
