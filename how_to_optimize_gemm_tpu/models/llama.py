@@ -258,16 +258,28 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
 # -------------------------------------------------------------- forward
 
 def forward(params, cfg: LlamaConfig, tokens: jnp.ndarray,
-            use_pallas: bool | None = None) -> jnp.ndarray:
-    """Full-sequence forward (training / prefill): (B, S) -> (B, S, vocab)."""
+            use_pallas: bool | None = None,
+            remat: bool = False) -> jnp.ndarray:
+    """Full-sequence forward (training / prefill): (B, S) -> (B, S, vocab).
+
+    remat=True wraps each block in ``jax.checkpoint``: activations are
+    recomputed in the backward pass instead of stored, trading ~1/3 more
+    FLOPs for O(sqrt) activation memory — the standard TPU move for
+    HBM-bound training (the "rematerialisation" capability slot)."""
     b, s = tokens.shape
     x = params["embed"][tokens]
     pos = jnp.arange(s)
     cos, sin = _rope_freqs(cfg, pos)
     mask = jnp.tril(jnp.ones((s, s), bool))
+
+    def block(layer, x):
+        return _block(layer, cfg, x, cos, sin, mask=mask,
+                      use_pallas=use_pallas)[0]
+
+    if remat:
+        block = jax.checkpoint(block)
     for layer in params["layers"]:
-        x, _ = _block(layer, cfg, x, cos, sin, mask=mask,
-                      use_pallas=use_pallas)
+        x = block(layer, x)
     x = rmsnorm(x, params["out_norm"], cfg.norm_eps)
     return apply_linear(params["lm_head"], x, use_pallas)
 
@@ -301,9 +313,10 @@ def decode_step(params, cfg: LlamaConfig, cache, tokens: jnp.ndarray,
 # ------------------------------------------------------------- training
 
 def loss_fn(params, cfg: LlamaConfig, tokens: jnp.ndarray,
-            use_pallas: bool | None = False) -> jnp.ndarray:
+            use_pallas: bool | None = False,
+            remat: bool = False) -> jnp.ndarray:
     """Next-token cross entropy over (B, S) token batches."""
-    logits = forward(params, cfg, tokens[:, :-1], use_pallas)
+    logits = forward(params, cfg, tokens[:, :-1], use_pallas, remat=remat)
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)

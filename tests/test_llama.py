@@ -67,3 +67,25 @@ def test_requantize_roundtrip_kinds(params):
     assert "int8_qw" in q8["layers"][0]["wq"]
     q4 = llama.requantize(q8, "int4")
     assert "int4_packed" in q4["layers"][0]["w_up"]
+
+
+def test_remat_matches_plain():
+    """jax.checkpoint recompute changes memory, not math."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from how_to_optimize_gemm_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab=64, d_model=64, n_layers=2, n_heads=4,
+                            n_kv_heads=2, d_ff=128, max_seq=32,
+                            weight_kind="fp32")
+    params = llama.init_params(jax.random.PRNGKey(3), cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(4), (2, 16), 0, cfg.vocab)
+    plain = llama.loss_fn(params, cfg, toks, remat=False)
+    remat = llama.loss_fn(params, cfg, toks, remat=True)
+    np.testing.assert_allclose(float(plain), float(remat), rtol=1e-6)
+    g_plain = jax.grad(llama.loss_fn)(params, cfg, toks, remat=False)
+    g_remat = jax.grad(llama.loss_fn)(params, cfg, toks, remat=True)
+    a = g_plain["layers"][0]["attn_norm"]
+    b = g_remat["layers"][0]["attn_norm"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
