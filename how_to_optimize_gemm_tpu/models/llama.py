@@ -179,7 +179,15 @@ def _route_flash(use_pallas, s: int, dh: int) -> bool:
 
 
 def _update_cache(cache, new, pos, write_mask=None):
-    """cache (B,T,H,D) <- new (B,S,H,D) at position pos (scalar or (B,)).
+    """cache (B,T,KVH,D) <- new (B,S,KVH,D) at position pos (scalar or
+    (B,)).
+
+    Cache layout is TIME-MAJOR (B,T,KVH,D) — XLA's scatter prefers it
+    physically (verified in HLO: a head-major cache made the scatter and
+    the decode-attention custom call disagree on layout, inserting a
+    full-cache copy per layer per step), and the decode kernel slices
+    whole (bk, KVH, D) chunks along the untiled T dim, which is
+    DMA-alignment-legal.
 
     write_mask (B,) bool: slots with False keep their cache untouched —
     the mechanism behind single-call batched prefill (one slot writes its
@@ -239,11 +247,27 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
         v_cache = _update_cache(v_cache, v, pos, write_mask)
         t = k_cache.shape[1]
         # valid[t'] = t' <= pos + offset for each query offset
-        q_pos = (pos[..., None] if jnp.ndim(pos) else pos) + jnp.arange(s)
-        valid = jnp.arange(t) <= q_pos[..., None]   # (S,T) or (B,S,T)
-        # Cache stays in its storage dtype (bf16): upcasting it here was
-        # ~100 MB/layer of materialized fp32 (see _attention docstring).
-        attn = _attention(q, k_cache, v_cache, valid)
+        if s == 1 and dh == 128 and _route_flash(use_pallas, t, dh):
+            # dh == 128 exactly: the kernel's manual cache DMA needs the
+            # lane dim to be one full 128 tile (dh=64 slices fail Mosaic
+            # alignment; such models fall back to eager).
+            # Length-aware decode kernel: reads ceil(len/bk) cache chunks
+            # per slot instead of the whole max_seq cache (eager pays
+            # max_seq traffic regardless of how full a slot is).
+            from how_to_optimize_gemm_tpu.ops.pallas_decode_attention \
+                import decode_attention
+            lengths = (pos if jnp.ndim(pos) else jnp.full(
+                (b,), pos, jnp.int32)) + 1
+            attn = decode_attention(q[:, 0], k_cache, v_cache,
+                                    lengths)[:, None]
+        else:
+            q_pos = (pos[..., None] if jnp.ndim(pos) else pos) \
+                + jnp.arange(s)
+            valid = jnp.arange(t) <= q_pos[..., None]  # (S,T) or (B,S,T)
+            # Cache stays in its storage dtype (bf16): upcasting it here
+            # was ~100 MB/layer of materialized fp32 (see _attention
+            # docstring).
+            attn = _attention(q, k_cache, v_cache, valid)
         new_kv = (k_cache, v_cache)
     x = x + apply_linear(layer["wo"], attn, use_pallas)
 
@@ -285,6 +309,7 @@ def forward(params, cfg: LlamaConfig, tokens: jnp.ndarray,
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16):
+    """Time-major (B, T, KVH, D) — see _update_cache for why."""
     shape = (batch, cfg.max_seq, cfg.n_kv_heads, cfg.d_head)
     return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
             for _ in range(cfg.n_layers)]

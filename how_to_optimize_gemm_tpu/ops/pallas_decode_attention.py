@@ -1,0 +1,163 @@
+"""Length-aware decode attention (Pallas, scalar prefetch).
+
+The serving counterpart of flash attention: at decode, each slot of the
+continuous batcher sits at a different position, but the eager path reads
+the FULL (B, max_seq) KV cache every step — a slot 100 tokens into a
+2048-slot cache pays 20x its real traffic. This kernel takes the per-slot
+lengths as a SCALAR-PREFETCH argument (``pltpu.PrefetchScalarGridSpec`` —
+the TPU analogue of the reference's ``prfm pldl1keep`` prefetch rungs,
+``aarch64/MMult_4x4_18.cpp:227-228``, as mapped in SURVEY.md §7), keeps
+the caches in HBM (``ANY``), and manually DMA-ping-pongs only
+``ceil(len/bk)`` chunks per slot: HBM traffic scales with the tokens that
+exist, not with max_seq.
+
+Grid design (v3): ONE program per batch slot; each chunk DMA slices
+(bk, KVH, D) along the cache's UNTILED leading T dim of the time-major
+(B, T, KVH, D) layout, and the per-head attention runs as one g-batched
+dot_general. Two failed designs are part of the record: v1's (B, KVH)
+grid with per-head DMAs lost to eager outright (~14 us of launch+DMA
+overhead x 32 tiny programs per layer), and v2's head-major cache layout
+made XLA's scatter (which physically prefers time-major — verified in
+HLO) disagree with the custom call's layout constraint, inserting a
+full-cache copy per layer per step.
+
+Numerically identical contract to the eager masked path: online softmax
+in fp32, entries at positions >= len masked to -inf.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from how_to_optimize_gemm_tpu.utils.env import default_interpret
+
+NEG_INF = -1e30
+
+
+def _kernel(bk: int, kvh: int, rep: int, d: int, t_total: int,
+            scale: float):
+    nk_max = t_total // bk
+
+    def kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref, bufk, bufv, sems):
+        b = pl.program_id(0)
+        length = len_ref[b]
+        nk = jnp.minimum((length + bk - 1) // bk, nk_max)
+
+        def dma_k(slot, t):
+            # clamp: guarded (pl.when) starts still TRACE the slice, so
+            # an unclamped t*bk would be out of bounds at trace time.
+            start = jnp.minimum(t, nk_max - 1) * bk
+            return pltpu.make_async_copy(
+                k_hbm.at[b, pl.ds(start, bk)], bufk.at[slot],
+                sems.at[slot, 0])
+
+        def dma_v(slot, t):
+            start = jnp.minimum(t, nk_max - 1) * bk
+            return pltpu.make_async_copy(
+                v_hbm.at[b, pl.ds(start, bk)], bufv.at[slot],
+                sems.at[slot, 1])
+
+        dma_k(0, 0).start()
+        dma_v(0, 0).start()
+
+        if nk_max > 1:
+            @pl.when(nk > 1)
+            def _():
+                dma_k(1, 1).start()
+                dma_v(1, 1).start()
+
+        q = q_ref[0].astype(jnp.float32) * scale     # (kvh, rep, d)
+
+        def body(t, carry):
+            o, m, l = carry
+            slot = jax.lax.rem(t, 2)
+
+            dma_k(slot, t).wait()
+            dma_v(slot, t).wait()
+            # Per-head static loop: Mosaic rejects batched matmuls whose
+            # rhs batch dim isn't leading, so slice each head out of the
+            # time-major chunk (kvh is small and static).
+            k_heads = [bufk[slot, :, g].astype(jnp.float32)
+                       for g in range(kvh)]          # each (bk, d)
+            v_heads = [bufv[slot, :, g] for g in range(kvh)]
+            s = jnp.stack([
+                jax.lax.dot_general(q[g], k_heads[g],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                for g in range(kvh)], axis=0)        # (kvh, rep, bk)
+            k_pos = t * bk + jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, bk), 2)
+            s = jnp.where(k_pos < length, s, NEG_INF)
+            m_blk = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m, m_blk)
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            o_new = o * alpha + jnp.stack([
+                jax.lax.dot_general(p[g].astype(v_heads[g].dtype),
+                                    v_heads[g],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                for g in range(kvh)], axis=0)        # (kvh, rep, d)
+
+            # Refill this slot only AFTER its chunk was consumed.
+            @pl.when(t + 2 < nk)
+            def _():
+                dma_k(slot, t + 2).start()
+                dma_v(slot, t + 2).start()
+            return o_new, m_new, l_new
+
+        o0 = jnp.zeros((kvh, rep, d), jnp.float32)
+        m0 = jnp.full((kvh, rep, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((kvh, rep, 1), jnp.float32)
+        o, m, l = jax.lax.fori_loop(0, nk, body, (o0, m0, l0))
+        # The slot writes its token before attending, so length >= 1 and
+        # l > 0 always; the max() only guards padded batch rows.
+        o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("bk", "interpret"))
+def decode_attention(q, k_cache, v_cache, lengths, *, bk: int = 512,
+                     interpret: bool | None = None):
+    """q: (B, H, D) one query per slot; k/v_cache: (B, T, KVH, D)
+    time-major; lengths: (B,) int32 — valid cache entries per slot (the
+    current token's K/V must already be written). Returns (B, H*D)
+    fp32."""
+    b, h, d = q.shape
+    _, t, kvh, _ = k_cache.shape
+    rep = h // kvh
+    bk = min(bk, t)
+    assert t % bk == 0, (t, bk)
+    qg = q.reshape(b, kvh, rep, d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, kvh, rep, d), lambda bi, lens: (bi, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, kvh, rep, d),
+                               lambda bi, lens: (bi, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, bk, kvh, d), k_cache.dtype),
+            pltpu.VMEM((2, bk, kvh, d), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        _kernel(bk, kvh, rep, d, t, d ** -0.5),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kvh, rep, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=default_interpret(interpret),
+    )(lengths.astype(jnp.int32), qg, k_cache, v_cache)
+    return out.reshape(b, h * d)

@@ -1,0 +1,48 @@
+"""Length-aware decode attention vs the eager masked reference."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from how_to_optimize_gemm_tpu.models.llama import _attention
+from how_to_optimize_gemm_tpu.ops.pallas_decode_attention import (
+    decode_attention)
+
+
+@pytest.mark.parametrize("lens", [[1, 7, 64, 33], [64, 64, 64, 64],
+                                  [5, 1, 2, 3]])
+def test_matches_eager_masked(lens):
+    b, t, h, kvh, d = 4, 64, 8, 2, 64
+    key = jax.random.PRNGKey(sum(lens))
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, d), jnp.float32)
+    k_cache = jax.random.normal(kk, (b, t, kvh, d), jnp.bfloat16)
+    v_cache = jax.random.normal(kv, (b, t, kvh, d), jnp.bfloat16)
+    lengths = jnp.asarray(lens, jnp.int32)
+
+    # eager reference: (B,1,H,D) query over the full time-major cache
+    # with the per-slot validity mask the decode path uses (llama._block)
+    valid = (jnp.arange(t)[None, None, :]
+             < lengths[:, None, None])            # (B,1,T)
+    ref = _attention(q[:, None], k_cache, v_cache, valid)[:, 0]
+
+    got = decode_attention(q, k_cache, v_cache, lengths, bk=32,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=3e-2)
+
+
+def test_block_size_invariance():
+    b, t, h, kvh, d = 2, 128, 4, 2, 64
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (b, h, d), jnp.float32)
+    k_cache = jax.random.normal(key, (b, t, kvh, d), jnp.bfloat16)
+    v_cache = jax.random.normal(jax.random.split(key)[0],
+                                (b, t, kvh, d), jnp.bfloat16)
+    lengths = jnp.asarray([100, 17], jnp.int32)
+    a = decode_attention(q, k_cache, v_cache, lengths, bk=128,
+                         interpret=True)
+    bb = decode_attention(q, k_cache, v_cache, lengths, bk=32,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=0,
+                               atol=2e-2)
