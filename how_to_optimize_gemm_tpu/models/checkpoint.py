@@ -42,7 +42,10 @@ def save_params(path, params: dict[str, Any]) -> None:
 
 def load_params(path, like: dict[str, Any]) -> dict[str, Any]:
     """Restore into the structure of ``like`` (shapes/dtypes validated)."""
-    flat = dict(np.load(pathlib.Path(path), allow_pickle=False))
+    path = pathlib.Path(path)
+    if not path.exists() and path.with_suffix(".npz").exists():
+        path = path.with_suffix(".npz")   # np.savez appends the suffix
+    flat = dict(np.load(path, allow_pickle=False))
 
     def rebuild(node, prefix=""):
         if isinstance(node, dict):

@@ -1,0 +1,89 @@
+"""Tokens/s scaling-efficiency harness (1 chip -> N chips).
+
+The north-star metric (BASELINE.json): decode throughput should scale to
+a pod slice at >=85% efficiency. This harness measures tokens/s at a
+ladder of mesh sizes over WHATEVER devices the runtime exposes — real
+chips on a pod slice, or the 8-device virtual CPU mesh in CI — and
+reports efficiency = tps(N) / (N * tps(1)).
+
+Honest scope note: this sandbox exposes ONE physical TPU through a relay,
+so the committed numbers from CI are virtual-CPU-mesh runs that validate
+the MACHINERY (sharding compiles, collectives execute, the math of the
+report) — not silicon scaling. On a real slice the same entrypoint is the
+measurement. The reference has no multi-chip story at all (it pins to one
+core, ``aarch64/makefile:39-40``); this subsystem exists because the
+framework's target does.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+
+from how_to_optimize_gemm_tpu.models import llama
+from how_to_optimize_gemm_tpu.parallel.mesh import make_mesh
+from how_to_optimize_gemm_tpu.parallel.serving import decode_tokens_per_sec
+
+
+@dataclasses.dataclass(frozen=True)
+class ScalePoint:
+    n_devices: int
+    dp: int
+    tp: int
+    tokens_per_s: float
+    efficiency: float   # vs linear scaling from the first point
+
+
+def scaling_report(cfg: llama.LlamaConfig, mesh_shapes, batch_per_dp=8,
+                   steps=64, use_pallas=None) -> list[ScalePoint]:
+    """mesh_shapes: list of (dp, tp). Throughput per shape; batch scales
+    with dp (weak scaling, the serving deployment model)."""
+    points: list[ScalePoint] = []
+    base = None
+    for dp, tp in mesh_shapes:
+        n = dp * tp
+        devices = jax.devices()[:n]
+        if len(devices) < n:
+            raise ValueError(f"need {n} devices, have {len(devices)}")
+        mesh = make_mesh(dp=dp, tp=tp, devices=devices)
+        params = llama.init_params(jax.random.PRNGKey(0), cfg)
+        tps = decode_tokens_per_sec(cfg, params, batch=batch_per_dp * dp,
+                                    steps=steps, use_pallas=use_pallas,
+                                    mesh=mesh)
+        if base is None:
+            base = tps / n
+        eff = tps / (n * base)
+        points.append(ScalePoint(n_devices=n, dp=dp, tp=tp,
+                                 tokens_per_s=tps, efficiency=eff))
+    return points
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--d-model", type=int, default=256)
+    ap.add_argument("--n-layers", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    n = len(jax.devices())
+    shapes = [(1, 1)]
+    tp = 2
+    while tp <= n:
+        shapes.append((1, tp))
+        tp *= 2
+    if n >= 4:
+        shapes.append((n // 2 // max(1, n // 4), 2))  # mixed dp x tp
+    cfg = llama.LlamaConfig(
+        vocab=1024, d_model=args.d_model, n_layers=args.n_layers,
+        n_heads=8, n_kv_heads=8, d_ff=args.d_model * 3, max_seq=256,
+        weight_kind="fp32")
+    for pt in scaling_report(cfg, shapes, steps=args.steps):
+        print(f"devices={pt.n_devices:2d} (dp={pt.dp} tp={pt.tp}): "
+              f"{pt.tokens_per_s:9.1f} tok/s  "
+              f"efficiency={pt.efficiency:5.1%}")
+
+
+if __name__ == "__main__":
+    main()

@@ -62,3 +62,19 @@ def test_column_parallel_int4(mesh):
     ref = (np.asarray(a16, np.float64)
            @ np.asarray(quant.dequantize(wq, sw), np.float64))
     np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-3, atol=1e-3)
+
+
+def test_scaling_report_machinery(devices8):
+    """The scaling harness runs over mesh ladders and computes
+    efficiencies (virtual CPU mesh: validates machinery, not silicon)."""
+    from how_to_optimize_gemm_tpu.models import llama
+    from how_to_optimize_gemm_tpu.parallel.scaling import scaling_report
+
+    cfg = llama.LlamaConfig(vocab=64, d_model=64, n_layers=1, n_heads=4,
+                            n_kv_heads=4, d_ff=128, max_seq=32,
+                            weight_kind="fp32")
+    pts = scaling_report(cfg, [(1, 1), (1, 2), (2, 2)], batch_per_dp=2,
+                         steps=4, use_pallas=False)
+    assert [p.n_devices for p in pts] == [1, 2, 4]
+    assert pts[0].efficiency == 1.0
+    assert all(p.tokens_per_s > 0 for p in pts)
