@@ -213,7 +213,7 @@ def _update_cache(cache, new, pos, write_mask=None):
 
 
 def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
-           use_pallas=None, write_mask=None):
+           use_pallas=None, write_mask=None, prefill_self=False):
     """One transformer block. kv None = full-sequence (training/prefill
     without cache); kv = (k_cache, v_cache, pos) for decode, pos scalar or
     per-slot (B,) vector (continuous batching)."""
@@ -247,7 +247,21 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
         v_cache = _update_cache(v_cache, v, pos, write_mask)
         t = k_cache.shape[1]
         # valid[t'] = t' <= pos + offset for each query offset
-        if s == 1 and dh == 128 and _route_flash(use_pallas, t, dh):
+        if prefill_self:
+            # Admission prefill: the slot starts at pos 0, so attention
+            # over the cache == causal self-attention over the prompt
+            # itself — no cache read at all, and the flash kernel applies
+            # (the eager cached path would build (B, S, max_seq) scores:
+            # admission of a 2k prompt at max_seq=8k is a 17 GB tensor).
+            if _route_flash(use_pallas, s, dh):
+                from how_to_optimize_gemm_tpu.ops.pallas_attention import (
+                    mha_flash)
+                attn = mha_flash(q, k.astype(jnp.bfloat16),
+                                 v.astype(jnp.bfloat16), causal=True)
+            else:
+                causal = jnp.tril(jnp.ones((s, s), bool))
+                attn = _attention(q, k, v, causal)
+        elif s == 1 and dh == 128 and _route_flash(use_pallas, t, dh):
             # dh == 128 exactly: the kernel's manual cache DMA needs the
             # lane dim to be one full 128 tile (dh=64 slices fail Mosaic
             # alignment; such models fall back to eager).
@@ -317,10 +331,14 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16):
 
 def decode_step(params, cfg: LlamaConfig, cache, tokens: jnp.ndarray,
                 pos: jnp.ndarray, use_pallas: bool | None = None,
-                write_mask: jnp.ndarray | None = None):
+                write_mask: jnp.ndarray | None = None,
+                prefill_self: bool = False):
     """One decode step: tokens (B, S) at position pos (scalar or per-slot
     (B,) vector) -> (logits, cache). write_mask (B,) bool restricts which
-    slots' caches are written (used by batched prefill)."""
+    slots' caches are written (used by batched prefill). prefill_self:
+    the masked slot starts at pos 0, so attention is computed as causal
+    self-attention over the new tokens only (flash-routable; no cache
+    read)."""
     b, s = tokens.shape
     x = params["embed"][tokens]
     positions = (pos[..., None] if jnp.ndim(pos) else pos) + jnp.arange(s)
@@ -328,7 +346,8 @@ def decode_step(params, cfg: LlamaConfig, cache, tokens: jnp.ndarray,
     new_cache = []
     for layer, (kc, vc) in zip(params["layers"], cache):
         x, kv = _block(layer, cfg, x, cos, sin, kv=(kc, vc, pos),
-                       use_pallas=use_pallas, write_mask=write_mask)
+                       use_pallas=use_pallas, write_mask=write_mask,
+                       prefill_self=prefill_self)
         new_cache.append(kv)
     x = rmsnorm(x, params["out_norm"], cfg.norm_eps)
     logits = apply_linear(params["lm_head"], x, use_pallas)

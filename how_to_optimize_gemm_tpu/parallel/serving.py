@@ -62,9 +62,13 @@ class ServingEngine:
 
         @functools.partial(jax.jit, static_argnames=())
         def _prefill(params, cache, tokens, pos, write_mask):
+            # prefill_self: the admitted slot is at pos 0, so attention
+            # is causal self-attention over the prompt (flash-routable) —
+            # the eager cached path would cost (B, P, max_seq) scores.
             logits, cache = llama.decode_step(params, cfg, cache, tokens,
                                               pos, use_pallas,
-                                              write_mask=write_mask)
+                                              write_mask=write_mask,
+                                              prefill_self=True)
             return logits, cache
 
         self._decode = _decode
