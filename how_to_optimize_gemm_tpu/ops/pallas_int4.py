@@ -89,9 +89,19 @@ def _kernel_noc(a_ref, w_ref, s_ref, o_ref, acc_ref):
 def choose_blocks_w4(m: int, n: int, kp: int) -> tuple[int, int, int]:
     """512x512 C tile + the largest 512-multiple K strip (<= 4096) that
     divides the packed K — same reload-minimizing derivation as
-    ``pallas_int8.choose_blocks_q``, validated on v5e: p=2048 full-K
+    ``pallas_int8.mmult_q``'s chooser, validated on v5e: p=2048 full-K
     171 TFLOPS vs 95 at (256,256,512); p=4096 bk=4096 164 TFLOPS.
-    87% of the bf16 MXU rate with weight traffic halved again vs int8."""
+    87% of the bf16 MXU rate with weight traffic halved again vs int8.
+
+    Decode shapes (m <= 64, the serving GEMV) get their own point:
+    bm=32 (minimum int-tile rows after padding) with a FULL-N strip and
+    bk=512 measured 11.3 us for a (8, 2048) x (2048, 5632) linear vs
+    18.5 at the square-tile choice — 62% of the weight-streaming floor,
+    and the reason apply_linear keeps int4 decode on Pallas."""
+    if m <= 64:
+        bm = bounds.round_up(max(m, 1), 32)
+        bn = min(bounds.round_up(n, 256), 8192)
+        return bm, bn, min(512, kp)
     bm = min(bounds.round_up(m, 128), 512)
     bn = min(bounds.round_up(n, 128), 512)
     bk = 512
