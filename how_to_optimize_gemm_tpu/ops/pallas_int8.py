@@ -83,7 +83,16 @@ BK_CAP = 4096
 def choose_blocks_q(m: int, n: int, k: int) -> tuple[int, int, int]:
     """(bm, bn, bk) for the int8 schedule: 512x512 C tile, full-K strips
     capped at BK_CAP (the reference derives GEMM_M/N/K from cache capacity
-    the same way, ``aarch64/MMult_4x4_14.cpp:24-55``)."""
+    the same way, ``aarch64/MMult_4x4_14.cpp:24-55``).
+
+    Decode shapes (m <= 64) get 32-row tiles with a full-N strip — ties
+    XLA's fused dequant+dot per linear (18.3 vs 18.8 us measured at
+    (8,2048)x(2048,5632)); apply_linear still routes int8 decode to XLA
+    since there is no win to bank."""
+    if m <= 64:
+        bm = bounds.round_up(max(m, 1), 32)
+        bn = min(bounds.round_up(n, 256), 8192)
+        return bm, bn, min(bounds.round_up(k, 512), 512)
     bm = min(bounds.round_up(m, 128), 512)
     bn = min(bounds.round_up(n, 128), 512)
     bk = min(bounds.round_up(k, 512), BK_CAP)
