@@ -18,7 +18,8 @@ REFERENCE_BEST_GFLOPS = 22418.0  # cuda_12 sweep peak (BASELINE.md)
 # The int8 ladder top: hand Pallas rungs + the XLA vendor rung, exactly the
 # population of the reference's headline chart (custom rungs AND cuBLAS,
 # README.md:96-102). Peak = best correctness-gated rung over the sweep.
-RUNGS = ("06_pallas_int8", "06v_xla_int8", "11_strip_resident_int8")
+RUNGS = ("06_pallas_int8", "06v_xla_int8", "07b_pallas_w4a8",
+         "11_strip_resident_int8")
 SIZES = (2048, 4096)
 
 

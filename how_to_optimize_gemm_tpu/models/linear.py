@@ -48,6 +48,17 @@ def make_linear(w: jnp.ndarray, kind: str = "bf16") -> dict[str, Any]:
         packed = quant.pack_int4(qw, INT4_BLOCK_K)
         return {"int4_packed": packed, "int4_sw": sw,
                 "int4_kdim": jnp.int32(kdim)}
+    if kind == "w4a8":
+        # int4 weights + int8 activations: same packed weight layout as
+        # int4, distinct keys so apply_linear quantizes x to int8 and
+        # takes the int8 MXU path (2x the W4A16 rate).
+        from how_to_optimize_gemm_tpu.ops import bounds
+        kdim = w.shape[0]
+        wp = bounds.pad_dim(w, 0, INT4_BLOCK_K)
+        qw, sw = quant.quantize_symmetric(wp, axis=0, bits=4)
+        packed = quant.pack_int4(qw, INT4_BLOCK_K)
+        return {"w4a8_packed": packed, "w4a8_sw": sw,
+                "w4a8_kdim": jnp.int32(kdim)}
     raise ValueError(f"unknown linear kind {kind!r}")
 
 
@@ -77,7 +88,7 @@ def apply_linear(lin: dict[str, Any], x: jnp.ndarray,
     x2 = x.reshape(-1, x.shape[-1])
     if use_pallas is None:
         m_large = x2.shape[0] >= 256
-        use_pallas = on_tpu() and (kind == "int4" or m_large)
+        use_pallas = on_tpu() and (kind in ("int4", "w4a8") or m_large)
 
     if kind == "fp32":
         y = jnp.dot(x2, lin["fp32_w"], preferred_element_type=jnp.float32)
@@ -104,6 +115,18 @@ def apply_linear(lin: dict[str, Any], x: jnp.ndarray,
             kdim = x2.shape[-1]
             y = jnp.dot(x2.astype(jnp.bfloat16), w[:kdim],
                         preferred_element_type=jnp.float32)
+    elif kind == "w4a8":
+        qa, sa = quant.quantize_symmetric(x2.astype(jnp.float32), axis=1)
+        if use_pallas:
+            y = pallas_int4.mmult_q_w4a8_noc(qa, sa, lin["w4a8_packed"],
+                                             lin["w4a8_sw"])
+        else:
+            wq = quant.unpack_int4(lin["w4a8_packed"], INT4_BLOCK_K)
+            kdim = x2.shape[-1]
+            acc = jnp.dot(qa.astype(jnp.int32),
+                          wq[:kdim].astype(jnp.int32),
+                          preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * sa * lin["w4a8_sw"]
     else:
         raise ValueError(kind)
     return y.reshape(*lead, y.shape[-1])

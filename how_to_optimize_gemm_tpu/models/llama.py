@@ -33,7 +33,7 @@ class LlamaConfig:
     max_seq: int = 128
     rope_theta: float = 10000.0
     norm_eps: float = 1e-5
-    weight_kind: str = "bf16"     # linear format: fp32|bf16|int8|int4
+    weight_kind: str = "bf16"  # linear: fp32|bf16|int8|int4|w4a8
 
     @property
     def d_head(self) -> int:
@@ -100,13 +100,17 @@ def requantize(params: dict, kind: str) -> dict:
         if k == "int4":
             wq = quant.unpack_int4(lin["int4_packed"], 512)
             return quant.dequantize(wq, lin["int4_sw"])
+        if k == "w4a8":
+            wq = quant.unpack_int4(lin["w4a8_packed"], 512)
+            return quant.dequantize(wq, lin["w4a8_sw"])
         raise ValueError(k)
 
     def walk(node):
         if isinstance(node, dict):
             keys = list(node)
             if keys and all("_" in k for k in keys) and any(
-                    k.split("_")[0] in ("fp32", "bf16", "int8", "int4")
+                    k.split("_")[0] in ("fp32", "bf16", "int8", "int4",
+                                        "w4a8")
                     for k in keys):
                 return make_linear(to_dense(node), kind)
             return {k: walk(v) for k, v in node.items()}

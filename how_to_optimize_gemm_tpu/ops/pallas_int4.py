@@ -229,3 +229,154 @@ def mmult(a, b, c, *, interpret: bool | None = None):
     """Full path (quantize+pack+GEMM) on fp32 inputs — harness convenience."""
     a16, packed, sw, _ = prepare(a, b)
     return mmult_q(a16, packed, sw, c, interpret=interpret)
+
+
+# ------------------------------------------------------------- W4A8 rung
+
+def _kernel_w4a8(a_ref, w_ref, sa_ref, sw_ref, c_ref, o_ref, acc_ref):
+    """int8 activations x int4 weights: the nibble decode feeds the MXU's
+    int8 path (2x the bf16 issue rate the W4A16 rung uses) with int32
+    accumulation; per-row x per-column scales fold into one rank-1
+    epilogue. The W4A8 recipe from the LLM-serving literature (e.g.
+    LiquidGEMM, arXiv:2509.01229 — PAPERS.md), built TPU-style."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    wq = _decode_w4(w_ref)                          # int32 in [-7, 7]
+    acc_ref[:] += jnp.dot(a_ref[:], wq.astype(jnp.int8),
+                          preferred_element_type=jnp.int32)
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _flush():
+        o_ref[:] = (acc_ref[:].astype(jnp.float32)
+                    * sa_ref[:] * sw_ref[:] + c_ref[:])
+
+
+def _kernel_w4a8_noc(a_ref, w_ref, sa_ref, sw_ref, o_ref, acc_ref):
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    wq = _decode_w4(w_ref)
+    acc_ref[:] += jnp.dot(a_ref[:], wq.astype(jnp.int8),
+                          preferred_element_type=jnp.int32)
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _flush():
+        o_ref[:] = acc_ref[:].astype(jnp.float32) * sa_ref[:] * sw_ref[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bm", "bn", "bk", "interpret"))
+def mmult_q_w4a8_noc(qa, sa, packed, sw, *, bm: int | None = None,
+                     bn: int | None = None, bk: int | None = None,
+                     interpret: bool | None = None):
+    """y = QA_int8 @ dequant(W4), no C (the W4A8 serving fast path)."""
+    m = qa.shape[0]
+    n = packed.shape[1]
+    kp = packed.shape[0] * 2
+    abm, abn, abk = choose_blocks_w4(m, n, kp)
+    bm, bn, bk = bm or abm, bn or abn, bk or abk
+    qa = bounds.pad_dim(bounds.pad_dim(qa, 0, bm), 1, kp)
+    packed = bounds.pad_dim(packed, 1, bn)
+    sw = bounds.pad_dim(sw, 1, bn)
+    sa = bounds.pad_dim(sa, 0, bm)
+    mp = qa.shape[0]
+    np_ = packed.shape[1]
+    assert kp % bk == 0
+    out = pl.pallas_call(
+        _kernel_w4a8_noc,
+        grid=(mp // bm, np_ // bn, kp // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=24 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_ // 2 + mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=default_interpret(interpret),
+    )(qa, packed, sa, sw)
+    return bounds.crop(out, m, n)
+
+
+def prepare_w4a8(a: jnp.ndarray, b: jnp.ndarray):
+    """A -> int8 per-row symmetric; B -> packed int4 per-column."""
+    qa, sa = quant.quantize_symmetric(a, axis=1)          # (M,K) int8
+    kdim = b.shape[0]
+    bp = bounds.pad_dim(b, 0, PACK_BLOCK)
+    qw, sw = quant.quantize_symmetric(bp, axis=0, bits=4)
+    packed = quant.pack_int4(qw, PACK_BLOCK)
+    return qa, sa, packed, sw, kdim
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bm", "bn", "bk", "interpret"))
+def mmult_q_w4a8(qa, sa, packed, sw, c, *, bm: int | None = None,
+                 bn: int | None = None, bk: int | None = None,
+                 interpret: bool | None = None):
+    """C = (QA_int8 @ dequant(W4)) + C — int8 MXU path, int4 weight
+    traffic."""
+    m, n = c.shape
+    kp = packed.shape[0] * 2
+    abm, abn, abk = choose_blocks_w4(m, n, kp)
+    bm, bn, bk = bm or abm, bn or abn, bk or abk
+    qa = bounds.pad_dim(bounds.pad_dim(qa, 0, bm), 1, kp)
+    packed = bounds.pad_dim(packed, 1, bn)
+    sw = bounds.pad_dim(sw, 1, bn)
+    sa = bounds.pad_dim(sa, 0, bm)
+    c = bounds.pad_dim(bounds.pad_dim(c, 0, bm), 1, bn)
+    mp = qa.shape[0]
+    np_ = packed.shape[1]
+    assert kp % bk == 0
+    out = pl.pallas_call(
+        _kernel_w4a8,
+        grid=(mp // bm, np_ // bn, kp // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=24 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_ // 2 + 2 * mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=default_interpret(interpret),
+    )(qa, packed, sa, sw, c)
+    return bounds.crop(out, m, n)

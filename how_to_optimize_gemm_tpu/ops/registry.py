@@ -171,6 +171,26 @@ _register(Rung(
     gate_rel=1e-4, bytes_per_input_elt=1.0,
     doc="int8 symmetric [-127,127], int32 acc, fused dequant (chgemm)"))
 
+def _w4a8_prepare(a, b):
+    return pallas_int4.prepare_w4a8(a, b)
+
+
+def _w4a8_effective(ops):
+    qa, sa, packed, sw, kdim = ops
+    wq = quant.unpack_int4(packed, block_k=512)[:kdim]
+    return quant.dequantize(qa, sa), quant.dequantize(wq, sw)[:kdim]
+
+
+_register(Rung(
+    name="07b_pallas_w4a8", dtype="int4",
+    run=lambda qa, sa, packed, sw, kdim, c, **kw:
+        pallas_int4.mmult_q_w4a8(qa, sa, packed, sw, c, **kw),
+    prepare=_w4a8_prepare, effective=_w4a8_effective,
+    gate_rel=1e-4, bytes_per_input_elt=0.75,
+    doc="W4A8: int8 activations x int4 weights on the int8 MXU path "
+        "(2x the W4A16 rung's bf16 rate, half int8's weight traffic) — "
+        "the serving-GEMM recipe from the W4A8 literature (PAPERS.md)"))
+
 _register(Rung(
     name="08_manual_dma_int8", dtype="int8",
     run=lambda qa, sa, qb, sb, c, **kw: pallas_manual_dma.mmult_q(

@@ -39,7 +39,7 @@ def test_decode_matches_forward(params):
                                rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("kind", ["bf16", "int8", "int4"])
+@pytest.mark.parametrize("kind", ["bf16", "int8", "int4", "w4a8"])
 def test_quantized_forward_close_to_fp32(params, kind):
     tokens = jax.random.randint(jax.random.PRNGKey(3), (1, 8), 0, CFG.vocab)
     ref = llama.forward(params, CFG, tokens, use_pallas=False)
@@ -47,7 +47,8 @@ def test_quantized_forward_close_to_fp32(params, kind):
     out = llama.forward(qparams, CFG, tokens, use_pallas=False)
     # quantization error, not kernel error: loose relative gate
     rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
-    budget = {"bf16": 0.05, "int8": 0.15, "int4": 0.5}[kind]
+    budget = {"bf16": 0.05, "int8": 0.15, "int4": 0.5,
+              "w4a8": 0.5}[kind]
     assert rel < budget, rel
 
 
