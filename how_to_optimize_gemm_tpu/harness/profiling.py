@@ -50,13 +50,14 @@ class RooflinePoint:
     fraction_of_ceiling: float
 
 
-# Ceilings by rung dtype family: (MXU GFLOPS, effective HBM GB/s).
-# Measured on v5e by ops/probes.py; override via the peaks argument.
+# Ceilings by COMPUTE dtype family: (MXU GFLOPS, effective HBM GB/s).
+# Measured on v5e by ops/probes.py (mxu_throughput_gflops for int8; the
+# in-GEMM bf16 rate; DMA chunk bandwidth); override via `peaks`.
 DEFAULT_PEAKS = {
-    "fp32": (31_500.0, 650.0),
-    "bf16": (181_000.0, 650.0),
-    "int8": (459_000.0, 650.0),
-    "int4": (181_000.0, 650.0),   # compute runs in bf16 after dequant
+    "fp32": (31_500.0, 800.0),
+    "bf16": (190_000.0, 800.0),
+    "int8": (390_000.0, 800.0),
+    "int4": (190_000.0, 800.0),   # W4A16 computes in bf16 after dequant
 }
 
 
@@ -64,7 +65,7 @@ def roofline(rung_name: str, m: int, n: int, k: int,
              achieved_gflops: float, peaks=None) -> RooflinePoint:
     rung = registry.get(rung_name)
     peaks = peaks or DEFAULT_PEAKS
-    mxu_gflops, hbm_gbps = peaks[rung.dtype]
+    mxu_gflops, hbm_gbps = peaks[rung.compute_dtype or rung.dtype]
     flops = 2.0 * m * n * k
     in_bytes = (m * k + k * n) * rung.bytes_per_input_elt
     io_bytes = in_bytes + 2 * m * n * 4          # C in + out, fp32

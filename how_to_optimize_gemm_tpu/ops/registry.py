@@ -43,6 +43,9 @@ class Rung:
     doc: str
     regression: bool = False         # honest negative result, kept on ladder
     bytes_per_input_elt: float = 4.0  # for roofline/bandwidth accounting
+    # MXU path the kernel actually computes in (for roofline ceilings);
+    # None = same family as `dtype` (int4 means "bf16 after dequant").
+    compute_dtype: str | None = None
     # Benchmark chaining policy (utils/timing.time_chained): "acc" carries
     # the C accumulator (honest for Pallas custom calls only), "via_b"
     # feeds C back as the B operand (plain-XLA fp32/bf16 rungs — defeats
@@ -187,6 +190,7 @@ _register(Rung(
         pallas_int4.mmult_q_w4a8(qa, sa, packed, sw, c, **kw),
     prepare=_w4a8_prepare, effective=_w4a8_effective,
     gate_rel=1e-4, bytes_per_input_elt=0.75,
+    compute_dtype="int8",
     doc="W4A8: int8 activations x int4 weights on the int8 MXU path "
         "(2x the W4A16 rung's bf16 rate, half int8's weight traffic) — "
         "the serving-GEMM recipe from the W4A8 literature (PAPERS.md)"))
