@@ -13,6 +13,26 @@ import jax
 from jax.sharding import Mesh
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Multi-host bring-up: ``jax.distributed.initialize`` with the
+    standard TPU-pod env autodetection (on Cloud TPU the arguments are
+    discovered from the metadata server; pass them explicitly elsewhere).
+    Returns the local process index. After this, ``jax.devices()`` spans
+    the whole slice and ``make_mesh`` shards across hosts: dp over DCN,
+    tp within each host's ICI domain. No-op if already initialized or
+    single-process (the sandbox case — this entrypoint is exercised for
+    real on multi-host slices)."""
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (RuntimeError, ValueError):
+        pass  # already initialized, or single-process environment
+    return jax.process_index()
+
+
 def make_mesh(dp: int = 1, tp: int | None = None,
               devices=None) -> Mesh:
     """Build a (dp, tp) mesh over the available devices.

@@ -34,6 +34,23 @@ class Request:
     done: bool = False
 
 
+def make_sampler(temperature: float = 1.0, top_k: int = 0):
+    """Device-side sampler: logits (B, V) + key -> (B,) int32 tokens.
+    temperature <= 0 means greedy; top_k > 0 restricts to the k largest
+    logits before the categorical draw."""
+    def sample(logits, key):
+        logits = logits.astype(jnp.float32)
+        if temperature <= 0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        scaled = logits / temperature
+        if top_k:
+            vals = jax.lax.top_k(scaled, top_k)[0]
+            scaled = jnp.where(scaled >= vals[..., -1:], scaled, -1e30)
+        return jax.random.categorical(key, scaled, axis=-1).astype(
+            jnp.int32)
+    return sample
+
+
 class ServingEngine:
     """Slot-based continuous batching over jitted prefill/decode steps."""
 
@@ -50,14 +67,17 @@ class ServingEngine:
         self.params = params
         self.mesh = mesh
         self.use_pallas = use_pallas
+        # greedy by default (exactly reproducible; the tests' contract)
+        sampler = sample or make_sampler(temperature=0.0)
+        self._key = jax.random.PRNGKey(0)
 
         cache_dtype = jnp.bfloat16
 
         @functools.partial(jax.jit, static_argnames=())
-        def _decode(params, cache, tokens, pos):
+        def _decode(params, cache, tokens, pos, key):
             logits, cache = llama.decode_step(params, cfg, cache, tokens,
                                               pos, use_pallas)
-            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            nxt = sampler(logits[:, -1, :], key)
             return nxt, cache
 
         @functools.partial(jax.jit, static_argnames=())
@@ -71,8 +91,14 @@ class ServingEngine:
                                               prefill_self=True)
             return logits, cache
 
+        @jax.jit
+        def _sample_one(logits, s, idx, key):
+            return sampler(logits[s, idx][None], key)[0]
+
         self._decode = _decode
         self._prefill = _prefill
+        self._sample_one = lambda logits, s, idx, key: int(
+            _sample_one(logits, s, idx, key))
         self.cache = llama.init_kv_cache(cfg, batch_slots, cache_dtype)
         self.slot_req: list[Request | None] = [None] * batch_slots
         self.slot_pos = np.zeros(batch_slots, np.int32)
@@ -112,8 +138,10 @@ class ServingEngine:
                 self.params, self.cache, jnp.asarray(tokens),
                 jnp.asarray(pos), jnp.asarray(write_mask))
             self.slot_pos[s] = plen
-            self.slot_tok[s] = int(jnp.argmax(logits[s, plen - 1]))
-            req.out.append(self.slot_tok[s])
+            self._key, sub = jax.random.split(self._key)
+            tok = self._sample_one(logits, s, plen - 1, sub)
+            self.slot_tok[s] = tok
+            req.out.append(tok)
 
     # -------------------------------------------------------------- run
     def run(self, requests: list[Request],
@@ -124,8 +152,9 @@ class ServingEngine:
         while any(r is not None for r in self.slot_req):
             tokens = jnp.asarray(self.slot_tok.reshape(-1, 1))
             pos = jnp.asarray(self.slot_pos)
+            self._key, sub = jax.random.split(self._key)
             nxt, self.cache = self._decode(self.params, self.cache,
-                                           tokens, pos)
+                                           tokens, pos, sub)
             nxt = np.asarray(nxt)
             for s in range(self.batch):
                 req = self.slot_req[s]

@@ -55,3 +55,22 @@ def test_engine_more_requests_than_slots(params):
     eng = ServingEngine(CFG, params, batch_slots=2, use_pallas=False)
     done = eng.run(reqs)
     assert all(r.done and len(r.out) == 3 for r in done)
+
+
+def test_sampling_engine(params):
+    """Temperature sampling produces valid tokens; greedy (T=0) sampler
+    reproduces the default engine exactly."""
+    from how_to_optimize_gemm_tpu.parallel.serving import make_sampler
+
+    reqs = lambda: [Request(uid=0, prompt=[3, 5], max_new=5)]
+    greedy = ServingEngine(CFG, params, batch_slots=1, use_pallas=False)
+    out_g = greedy.run(reqs())[0].out
+    greedy2 = ServingEngine(CFG, params, batch_slots=1, use_pallas=False,
+                            sample=make_sampler(temperature=0.0))
+    assert greedy2.run(reqs())[0].out == out_g
+
+    hot = ServingEngine(CFG, params, batch_slots=1, use_pallas=False,
+                        sample=make_sampler(temperature=1.5, top_k=8))
+    out_h = hot.run(reqs())[0].out
+    assert len(out_h) == 5
+    assert all(0 <= t < CFG.vocab for t in out_h)
