@@ -217,7 +217,8 @@ def _update_cache(cache, new, pos, write_mask=None):
 
 
 def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
-           use_pallas=None, write_mask=None, prefill_self=False):
+           use_pallas=None, write_mask=None, prefill_self=False,
+           flash_train=False):
     """One transformer block. kv None = full-sequence (training/prefill
     without cache); kv = (k_cache, v_cache, pos) for decode, pos scalar or
     per-slot (B,) vector (continuous batching)."""
@@ -233,7 +234,12 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
 
     new_kv = None
     if kv is None:
-        if _route_flash(use_pallas, s, dh):
+        if flash_train and _route_flash(True, s, dh):
+            # differentiable flash path (training long-context)
+            from how_to_optimize_gemm_tpu.ops.pallas_attention import (
+                mha_flash_train)
+            attn = mha_flash_train(q, k, v, causal=True)
+        elif _route_flash(use_pallas, s, dh):
             # Long-context prefill: the Pallas flash kernel streams K/V
             # blocks with an online softmax — never materializes (S, T)
             # scores (eager OOMs at S=4096: a 16 GB fp32 score tensor).
@@ -301,7 +307,7 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
 
 def forward(params, cfg: LlamaConfig, tokens: jnp.ndarray,
             use_pallas: bool | None = None,
-            remat: bool = False) -> jnp.ndarray:
+            remat: bool = False, flash_train: bool = False) -> jnp.ndarray:
     """Full-sequence forward (training / prefill): (B, S) -> (B, S, vocab).
 
     remat=True wraps each block in ``jax.checkpoint``: activations are
@@ -316,7 +322,7 @@ def forward(params, cfg: LlamaConfig, tokens: jnp.ndarray,
 
     def block(layer, x):
         return _block(layer, cfg, x, cos, sin, mask=mask,
-                      use_pallas=use_pallas)[0]
+                      use_pallas=use_pallas, flash_train=flash_train)[0]
 
     if remat:
         block = jax.checkpoint(block)
@@ -362,9 +368,12 @@ def decode_step(params, cfg: LlamaConfig, cache, tokens: jnp.ndarray,
 
 def loss_fn(params, cfg: LlamaConfig, tokens: jnp.ndarray,
             use_pallas: bool | None = False,
-            remat: bool = False) -> jnp.ndarray:
-    """Next-token cross entropy over (B, S) token batches."""
-    logits = forward(params, cfg, tokens[:, :-1], use_pallas, remat=remat)
+            remat: bool = False, flash_train: bool = False) -> jnp.ndarray:
+    """Next-token cross entropy over (B, S) token batches. flash_train
+    routes attention to the differentiable flash kernel (custom VJP) —
+    the long-context training path."""
+    logits = forward(params, cfg, tokens[:, :-1], use_pallas, remat=remat,
+                     flash_train=flash_train)
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)

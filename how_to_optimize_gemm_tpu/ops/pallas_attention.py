@@ -141,3 +141,330 @@ def mha_flash(q, k, v, *, causal: bool = True,
     out = flash_attention(qt.astype(kt.dtype), kt, vt, causal=causal,
                           interpret=interpret)
     return jnp.swapaxes(out, 1, 2).reshape(b, s, h * d).astype(jnp.float32)
+
+
+# ---------------------------------------------------------- training VJP
+
+def _fwd_kernel_lse(bq: int, bk: int, scale: float, causal: bool,
+                    t_total: int):
+    """Forward kernel that also emits the logsumexp rows the backward
+    pass recomputes attention against."""
+    nkv = t_total // bk
+
+    def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
+        qi = pl.program_id(2)
+        q = q_ref[0, 0].astype(jnp.float32) * scale
+        d = q.shape[-1]
+        q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+
+        def body(t, carry):
+            o, m, l = carry
+            k_blk = k_ref[0, 0, pl.ds(t * bk, bk)]
+            v_blk = v_ref[0, 0, pl.ds(t * bk, bk)]
+            s = jax.lax.dot_general(
+                q, k_blk.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if causal:
+                k_pos = t * bk + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, bk), 1)
+                s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+            m_blk = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m, m_blk)
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            o_new = o * alpha + jax.lax.dot_general(
+                p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return o_new, m_new, l_new
+
+        o0 = jnp.zeros((bq, d), jnp.float32)
+        m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bq, 1), jnp.float32)
+        if causal:
+            t_hi = jnp.minimum((qi * bq + bq + bk - 1) // bk, nkv)
+        else:
+            t_hi = nkv
+        o, m, l = jax.lax.fori_loop(0, t_hi, body, (o0, m0, l0))
+        l = jnp.maximum(l, 1e-30)
+        o_ref[0, 0] = (o / l).astype(o_ref.dtype)
+        # lse stored with an 8-lane replicated trailing dim: a bare (bq,)
+        # row vector can't satisfy Mosaic's (8, 128)-or-full block tiling
+        lse_ref[0, 0] = jnp.broadcast_to(m + jnp.log(l), (bq, 8))
+
+    return kernel
+
+
+def _bwd_dq_kernel(bq: int, bk: int, scale: float, causal: bool,
+                   t_total: int):
+    nkv = t_total // bk
+
+    def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref):
+        qi = pl.program_id(2)
+        q = q_ref[0, 0].astype(jnp.float32) * scale
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, :1]
+        delta = delta_ref[0, 0][:, :1]
+        d = q.shape[-1]
+        q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+
+        def body(t, dq):
+            k_blk = k_ref[0, 0, pl.ds(t * bk, bk)].astype(jnp.float32)
+            v_blk = v_ref[0, 0, pl.ds(t * bk, bk)].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if causal:
+                k_pos = t * bk + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, bk), 1)
+                s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+            p = jnp.exp(s - lse)                         # (bq, bk)
+            dp = jax.lax.dot_general(
+                do, v_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - delta)
+            return dq + jax.lax.dot_general(
+                ds, k_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        if causal:
+            t_hi = jnp.minimum((qi * bq + bq + bk - 1) // bk, nkv)
+        else:
+            t_hi = nkv
+        dq = jax.lax.fori_loop(0, t_hi, body,
+                               jnp.zeros((bq, d), jnp.float32))
+        dq_ref[0, 0] = (dq * scale).astype(dq_ref.dtype)
+
+    return kernel
+
+
+def _bwd_dkv_kernel(bq: int, bk: int, rep: int, scale: float,
+                    causal: bool, s_total: int):
+    nq = s_total // bq
+
+    def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+               dk_ref, dv_ref):
+        ki = pl.program_id(2)
+        k_blk = k_ref[0, 0, pl.ds(ki * bk, bk)].astype(jnp.float32)
+        v_blk = v_ref[0, 0, pl.ds(ki * bk, bk)].astype(jnp.float32)
+        d = k_blk.shape[-1]
+        k_pos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+
+        dk = jnp.zeros((bk, d), jnp.float32)
+        dv = jnp.zeros((bk, d), jnp.float32)
+        # accumulate over the rep query heads of this kv group
+        for r in range(rep):
+            def body(qi, carry, r=r):
+                dk, dv = carry
+                q = q_ref[0, 0, r, pl.ds(qi * bq, bq)].astype(
+                    jnp.float32) * scale                 # (bq, d)
+                do = do_ref[0, 0, r, pl.ds(qi * bq, bq)].astype(
+                    jnp.float32)
+                # refs are (rep, s, 8): trailing 8 is lane padding; keep
+                # one lane as the (bq, 1) broadcast column
+                lse = lse_ref[r, pl.ds(qi * bq, bq)][:, :1]
+                delta = delta_ref[r, pl.ds(qi * bq, bq)][:, :1]
+                s = jax.lax.dot_general(
+                    q, k_blk, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (bq, bk)
+                if causal:
+                    q_pos = qi * bq + jax.lax.broadcasted_iota(
+                        jnp.int32, (bq, 1), 0)
+                    s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+                p = jnp.exp(s - lse)
+                dv = dv + jax.lax.dot_general(
+                    p, do, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (bk, d)
+                dp = jax.lax.dot_general(
+                    do, v_blk, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (bq, bk)
+                ds = p * (dp - delta)
+                dk = dk + jax.lax.dot_general(
+                    ds, q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (bk, d)
+                return dk, dv
+
+            if causal:
+                q_lo = (ki * bk) // bq
+            else:
+                q_lo = 0
+            dk, dv = jax.lax.fori_loop(q_lo, nq, body, (dk, dv))
+        dk_ref[0, 0, pl.ds(ki * bk, bk)] = dk.astype(dk_ref.dtype)
+        dv_ref[0, 0, pl.ds(ki * bk, bk)] = dv.astype(dv_ref.dtype)
+
+    return kernel
+
+
+def _flash_fwd_lse(q, k, v, causal, bq, bk, interpret):
+    b, h, s, d = q.shape
+    _, kvh, t, _ = k.shape
+    rep = h // kvh
+    scale = d ** -0.5
+    out, lse = pl.pallas_call(
+        _fwd_kernel_lse(bq, bk, scale, causal, t),
+        grid=(b, h, s // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, d),
+                         lambda bi, hi, qi, rep=rep: (bi, hi // rep, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, d),
+                         lambda bi, hi, qi, rep=rep: (bi, hi // rep, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d),
+                         lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 8), lambda bi, hi, qi: (bi, hi,
+                                                            qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, s, 8), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=default_interpret(interpret),
+    )(q, k, v)
+    return out, lse
+
+
+def _flash_bwd(q, k, v, o, lse, do, causal, bq, bk, interpret):
+    b, h, s, d = q.shape
+    _, kvh, t, _ = k.shape
+    rep = h // kvh
+    scale = d ** -0.5
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)                                  # (b, h, s)
+    delta = jnp.broadcast_to(delta[..., None], (*delta.shape, 8))
+
+    dq = pl.pallas_call(
+        _bwd_dq_kernel(bq, bk, scale, causal, t),
+        grid=(b, h, s // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, d),
+                         lambda bi, hi, qi, rep=rep: (bi, hi // rep, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, d),
+                         lambda bi, hi, qi, rep=rep: (bi, hi // rep, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 8), lambda bi, hi, qi: (bi, hi,
+                                                            qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 8), lambda bi, hi, qi: (bi, hi,
+                                                            qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d),
+                               lambda bi, hi, qi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=default_interpret(interpret),
+    )(q, k, v, do, lse, delta)
+
+    # group-major views for the dk/dv pass: (b, kvh, rep, s, ...) — pure
+    # reshapes of the contiguous (b, h, ...) layout (h = g*rep + r).
+    # bf16 strips: the full-S q/do strips per (b, g) live in VMEM.
+    q5 = q.reshape(b, kvh, rep, s, d).astype(jnp.bfloat16)
+    do5 = do.reshape(b, kvh, rep, s, d).astype(jnp.bfloat16)
+    lse5 = lse.reshape(b, kvh, rep, s, 8)
+    delta5 = delta.reshape(b, kvh, rep, s, 8)
+
+    dk, dv = pl.pallas_call(
+        _bwd_dkv_kernel(bq, bk, rep, scale, causal, s),
+        grid=(b, kvh, t // bk),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, s, d),
+                         lambda bi, gi, ki: (bi, gi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, d), lambda bi, gi, ki: (bi, gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, d), lambda bi, gi, ki: (bi, gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rep, s, d),
+                         lambda bi, gi, ki: (bi, gi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, rep, s, 8),
+                         lambda bi, gi, ki: (bi, gi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, rep, s, 8),
+                         lambda bi, gi, ki: (bi, gi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, t, d), lambda bi, gi, ki: (bi, gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, d), lambda bi, gi, ki: (bi, gi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, kvh, t, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, kvh, t, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=default_interpret(interpret),
+    )(q5, k, v, do5, lse5, delta5)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention_train(q, k, v, causal: bool = True, bq: int = 512,
+                          bk: int = 512, interpret: bool | None = None):
+    """Differentiable flash attention (training path).
+
+    Same contract as ``flash_attention`` plus a custom VJP: the backward
+    pass recomputes per-block attention against the saved logsumexp rows
+    (the standard flash backward) in two Pallas kernels — a dq pass
+    gridded like the forward and a dk/dv pass gridded over KV blocks with
+    the rep query heads of each GQA group accumulated in-kernel. Memory:
+    the dk/dv pass holds full-S q/do strips per (batch, kv-head) in VMEM
+    (bf16), which bounds trainable S to ~2k at d=128 / ~4k at d=64 —
+    documented, not silent."""
+    bq = min(bq, q.shape[2])
+    bk = min(bk, k.shape[2])
+    out, _ = _flash_fwd_lse(q, k, v, causal, bq, bk, interpret)
+    return out
+
+
+def _train_fwd(q, k, v, causal, bq, bk, interpret):
+    bq = min(bq, q.shape[2])
+    bk = min(bk, k.shape[2])
+    out, lse = _flash_fwd_lse(q, k, v, causal, bq, bk, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _train_bwd(causal, bq, bk, interpret, res, do):
+    q, k, v, out, lse = res
+    bq = min(bq, q.shape[2])
+    bk = min(bk, k.shape[2])
+    dq, dk, dv = _flash_bwd(q, k, v, out, lse, do, causal, bq, bk,
+                            interpret)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_attention_train.defvjp(_train_fwd, _train_bwd)
+
+
+def mha_flash_train(q, k, v, *, causal: bool = True,
+                    interpret: bool | None = None):
+    """Differentiable model-layout wrapper (see mha_flash)."""
+    b, s, h, d = q.shape
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2).astype(jnp.bfloat16)
+    vt = jnp.swapaxes(v, 1, 2).astype(jnp.bfloat16)
+    out = flash_attention_train(qt, kt, vt, causal, 512, 512, interpret)
+    return jnp.swapaxes(out, 1, 2).reshape(b, s, h * d).astype(jnp.float32)

@@ -59,3 +59,45 @@ def test_flash_blocked_matches_single_block():
     np.testing.assert_allclose(np.asarray(one, np.float32),
                                np.asarray(multi, np.float32),
                                rtol=0, atol=2e-2)
+
+
+def _eager_for_grad(q, k, v):
+    s, t = q.shape[2], k.shape[2]
+    mask = jnp.arange(t)[None, :] <= jnp.arange(s)[:, None]
+    # model-layout eager on transposed views
+    qm = jnp.swapaxes(q, 1, 2)
+    km = jnp.swapaxes(k, 1, 2)
+    vm = jnp.swapaxes(v, 1, 2)
+    out = _attention(qm.astype(jnp.float32), km, vm, mask)
+    b, s2, h, d = qm.shape
+    return jnp.swapaxes(out.reshape(b, s2, h, d), 1, 2)
+
+
+def test_flash_train_grads_match_eager():
+    from how_to_optimize_gemm_tpu.ops.pallas_attention import (
+        flash_attention_train)
+
+    b, h, kvh, s, d = 1, 4, 2, 128, 64
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv, kw = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (b, h, s, d), jnp.float32)
+    k = jax.random.normal(kk, (b, kvh, s, d), jnp.float32)
+    v = jax.random.normal(kv, (b, kvh, s, d), jnp.float32)
+    w = jax.random.normal(kw, (b, h, s, d), jnp.float32)
+
+    def loss_flash(q, k, v):
+        out = flash_attention_train(q, k, v, True, 32, 32, True)
+        return jnp.sum(out.astype(jnp.float32) * w)
+
+    def loss_eager(q, k, v):
+        return jnp.sum(_eager_for_grad(q, k, v) * w)
+
+    lf, gf = jax.value_and_grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    le, ge = jax.value_and_grad(loss_eager, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(lf), float(le), rtol=1e-2)
+    for a, bb, name in zip(gf, ge, "qkv"):
+        scale = np.max(np.abs(np.asarray(bb))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(bb) / scale,
+                                   rtol=0, atol=4e-2,
+                                   err_msg=f"d{name} mismatch")

@@ -90,3 +90,28 @@ def test_remat_matches_plain():
     a = g_plain["layers"][0]["attn_norm"]
     b = g_remat["layers"][0]["attn_norm"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+def test_flash_train_loss_matches_eager():
+    """flash_train routing changes the attention implementation, not the
+    math: loss and grads match the eager path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from how_to_optimize_gemm_tpu.models import llama
+
+    cfg = llama.LlamaConfig(vocab=64, d_model=128, n_layers=1, n_heads=2,
+                            n_kv_heads=2, d_ff=128, max_seq=1024,
+                            weight_kind="fp32")
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 513), 0,
+                              cfg.vocab)  # forward sees S=512 (flash gate)
+    le = llama.loss_fn(params, cfg, toks, False, False, False)
+    lf = llama.loss_fn(params, cfg, toks, False, False, True)
+    np.testing.assert_allclose(float(le), float(lf), rtol=2e-2)
+    ge = jax.grad(llama.loss_fn)(params, cfg, toks, False, False, False)
+    gf = jax.grad(llama.loss_fn)(params, cfg, toks, False, False, True)
+    a = np.asarray(ge["layers"][0]["wq"]["fp32_w"])
+    b = np.asarray(gf["layers"][0]["wq"]["fp32_w"])
+    scale = np.max(np.abs(a)) + 1e-9
+    np.testing.assert_allclose(b / scale, a / scale, rtol=0, atol=5e-2)
