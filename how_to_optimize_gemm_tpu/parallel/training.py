@@ -76,7 +76,7 @@ def init_train_state(params, optimizer, mesh: Mesh | None = None
 
 
 def make_train_step(cfg, optimizer, mesh: Mesh | None = None,
-                    remat: bool = False):
+                    remat: bool = False, flash_train: bool = False):
     """Returns (step_fn, token_sharding). step_fn(state, tokens) ->
     (state, loss); jit-compiled, dp-sharded batch when a mesh is given."""
     mask = None
@@ -87,7 +87,7 @@ def make_train_step(cfg, optimizer, mesh: Mesh | None = None,
 
         def loss_of(floats):
             return llama.loss_fn(rebuild(floats, all_leaves), cfg,
-                                 tokens, False, remat)
+                                 tokens, False, remat, flash_train)
 
         loss, grads = jax.value_and_grad(loss_of)(floats)
         updates, opt_state = optimizer.update(grads, state.opt_state,
