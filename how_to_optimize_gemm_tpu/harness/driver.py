@@ -45,7 +45,8 @@ class SweepRow:
 
 def run_sweep(rung_name: str, config: SweepConfig | None = None,
               output_dir=None, strict: bool = True,
-              verbose: bool = True) -> list[SweepRow]:
+              verbose: bool = True,
+              quant_oracle: bool = True) -> list[SweepRow]:
     config = config or SweepConfig()
     rung = registry.get(rung_name)
     key = jax.random.PRNGKey(config.seed)
@@ -60,9 +61,15 @@ def run_sweep(rung_name: str, config: SweepConfig | None = None,
         ref_eff = oracle.ref_mmult(np.asarray(ae), np.asarray(be),
                                    np.asarray(c))
         cmp_eff = oracle.compare_matrices(out, ref_eff, rung.gate_rel)
-        ref_fp32 = oracle.ref_mmult(np.asarray(a), np.asarray(b),
-                                    np.asarray(c))
-        cmp_q = oracle.compare_matrices(out, ref_fp32, float("inf"))
+        if quant_oracle:
+            # second fp64 matmul (vs ORIGINAL operands): reports
+            # quantization error separately from kernel error. Skippable
+            # (bench.py): it doubles the oracle cost and gates nothing.
+            ref_fp32 = oracle.ref_mmult(np.asarray(a), np.asarray(b),
+                                        np.asarray(c))
+            cmp_q = oracle.compare_matrices(out, ref_fp32, float("inf"))
+        else:
+            cmp_q = cmp_eff
 
         if cmp_eff.max_rel > rung.gate_rel:
             msg = (f"{rung_name} p={m}x{n}x{k}: kernel rel diff "
