@@ -79,8 +79,6 @@ def make_train_step(cfg, optimizer, mesh: Mesh | None = None,
                     remat: bool = False, flash_train: bool = False):
     """Returns (step_fn, token_sharding). step_fn(state, tokens) ->
     (state, loss); jit-compiled, dp-sharded batch when a mesh is given."""
-    mask = None
-
     def step(state: TrainState, tokens):
         all_leaves = jax.tree.leaves(state.params)
         floats, rebuild = split_trainable(state.params)
