@@ -73,12 +73,25 @@ class ServingEngine:
 
         cache_dtype = jnp.bfloat16
 
-        @functools.partial(jax.jit, static_argnames=())
-        def _decode(params, cache, tokens, pos, key):
-            logits, cache = llama.decode_step(params, cfg, cache, tokens,
-                                              pos, use_pallas)
-            nxt = sampler(logits[:, -1, :], key)
-            return nxt, cache
+        @functools.partial(jax.jit, static_argnames=("window",))
+        def _decode(params, cache, tokens, pos, key, window=1):
+            # window > 1: W decode steps in ONE dispatch (lax.scan) — on
+            # a remote-relay platform each dispatch costs ~24 ms of round
+            # trip, so per-step dispatch caps e2e serving at ~40 steps/s
+            # regardless of model speed. Slots that finish mid-window
+            # produce extra tokens the host discards; their cache entries
+            # past EOS are harmless (overwritten before the causal mask
+            # ever exposes them, same argument as prefill padding).
+            def step(carry, _):
+                cache, tok, pos, key = carry
+                key, sub = jax.random.split(key)
+                logits, cache = llama.decode_step(params, cfg, cache,
+                                                  tok, pos, use_pallas)
+                nxt = sampler(logits[:, -1, :], sub)
+                return (cache, nxt[:, None], pos + 1, key), nxt
+            (cache, _, _, _), toks = jax.lax.scan(
+                step, (cache, tokens, pos, key), None, length=window)
+            return toks, cache  # toks: (window, B)
 
         @functools.partial(jax.jit, static_argnames=())
         def _prefill(params, cache, tokens, pos, write_mask):
@@ -144,33 +157,43 @@ class ServingEngine:
             req.out.append(tok)
 
     # -------------------------------------------------------------- run
-    def run(self, requests: list[Request],
-            eos_id: int | None = None) -> list[Request]:
-        """Serve all requests to completion; returns them with .out."""
+    def run(self, requests: list[Request], eos_id: int | None = None,
+            window: int = 8) -> list[Request]:
+        """Serve all requests to completion; returns them with .out.
+
+        window: decode steps per device dispatch (scan inside jit).
+        The greedy token stream is IDENTICAL for any window (sampled
+        streams stay correct but draw keys in a different order); only
+        the host round-trip count changes."""
         queue = list(requests)
         self._admit(queue)
         while any(r is not None for r in self.slot_req):
+            active_pos = [int(self.slot_pos[s]) for s in range(self.batch)
+                          if self.slot_req[s] is not None]
+            w = max(1, min(window,
+                           self.cfg.max_seq - 1 - max(active_pos)))
             tokens = jnp.asarray(self.slot_tok.reshape(-1, 1))
             pos = jnp.asarray(self.slot_pos)
             self._key, sub = jax.random.split(self._key)
-            nxt, self.cache = self._decode(self.params, self.cache,
-                                           tokens, pos, sub)
-            nxt = np.asarray(nxt)
+            toks, self.cache = self._decode(self.params, self.cache,
+                                            tokens, pos, sub, window=w)
+            toks = np.asarray(toks)                    # (w, B)
             for s in range(self.batch):
                 req = self.slot_req[s]
                 if req is None:
                     continue
-                self.slot_pos[s] += 1
-                tok = int(nxt[s])
-                req.out.append(tok)
-                hit_eos = eos_id is not None and tok == eos_id
-                full = self.slot_pos[s] + 1 >= self.cfg.max_seq
-                if len(req.out) >= req.max_new or hit_eos or full:
-                    req.done = True
-                    self.slot_req[s] = None
-                    self.slot_pos[s] = 0
-                    self.slot_tok[s] = 0
-                else:
+                for i in range(w):
+                    self.slot_pos[s] += 1
+                    tok = int(toks[i, s])
+                    req.out.append(tok)
+                    hit_eos = eos_id is not None and tok == eos_id
+                    full = self.slot_pos[s] + 1 >= self.cfg.max_seq
+                    if len(req.out) >= req.max_new or hit_eos or full:
+                        req.done = True
+                        self.slot_req[s] = None
+                        self.slot_pos[s] = 0
+                        self.slot_tok[s] = 0
+                        break
                     self.slot_tok[s] = tok
             self._admit(queue)
         return requests
