@@ -39,3 +39,20 @@ def crop(out: jnp.ndarray, m: int, n: int) -> jnp.ndarray:
     if out.shape == (m, n):
         return out
     return out[:m, :n]
+
+
+def _least_waste(n: int, cap: int, step: int) -> int:
+    """Largest block <= cap (multiple of step) minimizing pad waste of n.
+
+    A naive min(round_up(n, step), cap) pads e.g. N=11008 (Llama-2-7B's
+    d_ff) up to 16384 when capped at 8192 — 49% wasted compute on every
+    MLP linear. Ties break toward the larger block."""
+    n = max(n, 1)
+    best_waste, best = None, step
+    for cand in range(cap, 0, -step):
+        waste = -n % cand
+        if best_waste is None or waste < best_waste:
+            best_waste, best = waste, cand
+        if waste == 0:
+            break
+    return best

@@ -132,7 +132,13 @@ def decode_attention(q, k_cache, v_cache, lengths, *, bk: int = 512,
     b, h, d = q.shape
     _, t, kvh, _ = k_cache.shape
     rep = h // kvh
-    bk = min(bk, t)
+    # VMEM clamp: 2 ping-pong slots x (k, v) chunks of (bk, kvh, d) must
+    # stay well inside the fast-VMEM window (MHA models like Llama-2-7B
+    # have kvh=32 — a naive bk=512 would allocate 16 MB of chunk buffers)
+    elt = jnp.dtype(k_cache.dtype).itemsize
+    budget = 6 * 1024 * 1024
+    bk_cap = max(budget // (4 * kvh * d * elt) // 128 * 128, 128)
+    bk = min(bk, bk_cap, t)
     assert t % bk == 0, (t, bk)
     qg = q.reshape(b, kvh, rep, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -100,7 +100,7 @@ def choose_blocks_w4(m: int, n: int, kp: int) -> tuple[int, int, int]:
     and the reason apply_linear keeps int4 decode on Pallas."""
     if m <= 64:
         bm = bounds.round_up(max(m, 1), 32)
-        bn = min(bounds.round_up(n, 256), 8192)
+        bn = bounds._least_waste(bounds.round_up(n, 128), 8192, 128)
         return bm, bn, min(512, kp)
     bm = min(bounds.round_up(m, 128), 512)
     bn = min(bounds.round_up(n, 128), 512)

@@ -91,7 +91,7 @@ def choose_blocks_q(m: int, n: int, k: int) -> tuple[int, int, int]:
     since there is no win to bank."""
     if m <= 64:
         bm = bounds.round_up(max(m, 1), 32)
-        bn = min(bounds.round_up(n, 256), 8192)
+        bn = bounds._least_waste(bounds.round_up(n, 128), 8192, 128)
         return bm, bn, min(bounds.round_up(k, 512), 512)
     bm = min(bounds.round_up(m, 128), 512)
     bn = min(bounds.round_up(n, 128), 512)
