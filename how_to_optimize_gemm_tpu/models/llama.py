@@ -199,7 +199,8 @@ def _update_cache(cache, new, pos, write_mask=None):
     new = new.astype(cache.dtype)
     if write_mask is not None:
         updated = _update_cache(cache, new, pos)
-        return jnp.where(write_mask[:, None, None, None], updated, cache)
+        bc = write_mask.reshape((-1,) + (1,) * (cache.ndim - 1))
+        return jnp.where(bc, updated, cache)
     if jnp.ndim(pos) == 0:
         return jax.lax.dynamic_update_slice_in_dim(cache, new, pos, axis=1)
     if new.shape[1] == 1:
@@ -233,6 +234,47 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
     k = apply_rope(k, cos, sin)
 
     new_kv = None
+    if kv is not None and len(kv) == 5:
+        # KV8 quantized cache: (qk, sk, qv, sv, pos)
+        qk, sk, qv, sv, pos = kv
+        kq, ks = quantize_kv(k)
+        vq, vs = quantize_kv(v)
+        pad_g = sk.shape[-1] - ks.shape[-1]
+        ks = jnp.pad(ks, ((0, 0), (0, 0), (0, pad_g)))
+        vs = jnp.pad(vs, ((0, 0), (0, 0), (0, pad_g)))
+        qk = _update_cache(qk, kq, pos, write_mask)
+        sk = _update_cache(sk, ks, pos, write_mask)
+        qv = _update_cache(qv, vq, pos, write_mask)
+        sv = _update_cache(sv, vs, pos, write_mask)
+        t = qk.shape[1]
+        if prefill_self:
+            if _route_flash(use_pallas, s, dh):
+                from how_to_optimize_gemm_tpu.ops.pallas_attention import (
+                    mha_flash)
+                attn = mha_flash(q, k.astype(jnp.bfloat16),
+                                 v.astype(jnp.bfloat16), causal=True)
+            else:
+                causal = jnp.tril(jnp.ones((s, s), bool))
+                attn = _attention(q, k, v, causal)
+        elif s == 1 and dh == 128 and _route_flash(use_pallas, t, dh):
+            from how_to_optimize_gemm_tpu.ops.pallas_decode_attention \
+                import decode_attention_q8
+            lengths = (pos if jnp.ndim(pos) else jnp.full(
+                (x.shape[0],), pos, jnp.int32)) + 1
+            attn = decode_attention_q8(q[:, 0], qk, sk, qv, sv,
+                                       lengths)[:, None]
+        else:
+            q_pos = (pos[..., None] if jnp.ndim(pos) else pos) \
+                + jnp.arange(s)
+            valid = jnp.arange(t) <= q_pos[..., None]
+            attn = _attention_kv8(q, qk, sk, qv, sv, valid)
+        x = x + apply_linear(layer["wo"], attn, use_pallas)
+        y = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
+        gate = apply_linear(layer["w_gate"], y, use_pallas)
+        up = apply_linear(layer["w_up"], y, use_pallas)
+        x = x + apply_linear(layer["w_down"], jax.nn.silu(gate) * up,
+                             use_pallas)
+        return x, (qk, sk, qv, sv)
     if kv is None:
         if flash_train and _route_flash(True, s, dh):
             # differentiable flash path (training long-context)
@@ -332,11 +374,76 @@ def forward(params, cfg: LlamaConfig, tokens: jnp.ndarray,
     return apply_linear(params["lm_head"], x, use_pallas)
 
 
-def init_kv_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16):
-    """Time-major (B, T, KVH, D) — see _update_cache for why."""
+def init_kv_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16,
+                  quantized: bool = False):
+    """Time-major (B, T, KVH, D) — see _update_cache for why.
+
+    quantized=True stores the cache as int8 with per-(token, head)
+    symmetric scales (KV8): each layer entry becomes a 4-tuple
+    (qk, sk, qv, sv) and halves cache HBM — double the batch or context
+    at the same memory. Attention folds the scales into the softmax
+    contractions (rank-1 per t, so they commute)."""
     shape = (batch, cfg.max_seq, cfg.n_kv_heads, cfg.d_head)
+    if quantized:
+        # scales are (B, T, 128) with the KVH heads in the first lanes:
+        # the decode kernel DMA-slices (bk, 128) chunks and Mosaic
+        # requires the lane dim be a full 128 tile (a bare KVH- or
+        # 1-wide lane dim does not compile). ~6% memory overhead vs the
+        # int8 values at d_head=128.
+        assert cfg.n_kv_heads <= 128
+        sshape = (batch, cfg.max_seq, 128)
+        mk = lambda: (jnp.zeros(shape, jnp.int8),
+                      jnp.zeros(sshape, jnp.float32))
+        return [mk() + mk() for _ in range(cfg.n_layers)]
     return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
             for _ in range(cfg.n_layers)]
+
+
+def quantize_kv(x):
+    """(B, S, G, D) -> int8 values + per-(b, s, g) scales (B, S, G)."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale[..., 0].astype(jnp.float32)
+
+
+def _attention_kv8(q, qk, sk, qv, sv, mask):
+    # scales arrive lane-padded to 128; crop to the real head count
+    kvh_real = qk.shape[2]
+    sk = sk[..., :kvh_real]
+    sv = sv[..., :kvh_real]
+    """Eager attention over the int8 cache: scales are rank-1 in t, so
+    they fold into the contractions — the cache is never dequantized to
+    a materialized fp32/bf16 copy (the lesson of _attention applies).
+
+    On TPU the einsums consume int8 directly (halved cache traffic); on
+    CPU they upcast first (XLA:CPU's dot thunk is picky, emulation
+    path only)."""
+    from how_to_optimize_gemm_tpu.utils.env import on_tpu
+    b, s, h, d = q.shape
+    kvh = qk.shape[2]
+    rep = h // kvh
+    tpu = on_tpu()
+    qg = q.reshape(b, s, kvh, rep, d).astype(
+        jnp.bfloat16 if tpu else jnp.float32)
+    kq = qk if tpu else qk.astype(jnp.float32)
+    vqv = qv if tpu else qv.astype(jnp.float32)
+    logits = jnp.einsum("bsgrd,btgd->bgrst", qg, kq,
+                        preferred_element_type=jnp.float32)
+    sk_t = jnp.transpose(sk, (0, 2, 1))              # (B, G, T)
+    logits = logits * sk_t[:, :, None, None, :]
+    logits = logits * (d ** -0.5)
+    if mask is not None:
+        if mask.ndim == 2:
+            mask = mask[None]
+        logits = jnp.where(mask[:, None, None, :, :], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    sv_t = jnp.transpose(sv, (0, 2, 1))
+    probs = probs * sv_t[:, :, None, None, :]
+    out = jnp.einsum("bgrst,btgd->bsgrd",
+                     probs.astype(jnp.bfloat16 if tpu else jnp.float32),
+                     vqv, preferred_element_type=jnp.float32)
+    return out.reshape(b, s, h * d)
 
 
 def decode_step(params, cfg: LlamaConfig, cache, tokens: jnp.ndarray,
@@ -354,8 +461,8 @@ def decode_step(params, cfg: LlamaConfig, cache, tokens: jnp.ndarray,
     positions = (pos[..., None] if jnp.ndim(pos) else pos) + jnp.arange(s)
     cos, sin = _rope_freqs(cfg, positions)
     new_cache = []
-    for layer, (kc, vc) in zip(params["layers"], cache):
-        x, kv = _block(layer, cfg, x, cos, sin, kv=(kc, vc, pos),
+    for layer, entry in zip(params["layers"], cache):
+        x, kv = _block(layer, cfg, x, cos, sin, kv=(*entry, pos),
                        use_pallas=use_pallas, write_mask=write_mask,
                        prefill_self=prefill_self)
         new_cache.append(kv)

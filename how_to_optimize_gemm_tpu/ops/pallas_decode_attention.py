@@ -38,6 +38,15 @@ from how_to_optimize_gemm_tpu.utils.env import default_interpret
 NEG_INF = -1e30
 
 
+def _divisor_block(t: int, cap: int) -> int:
+    """Largest 128-multiple <= cap that divides t (the chunk walk needs
+    t % bk == 0; a raw VMEM cap like 384 need not divide e.g. 2048)."""
+    for bk in range(cap // 128 * 128, 0, -128):
+        if t % bk == 0:
+            return bk
+    return t
+
+
 def _kernel(bk: int, kvh: int, rep: int, d: int, t_total: int,
             scale: float):
     nk_max = t_total // bk
@@ -138,8 +147,7 @@ def decode_attention(q, k_cache, v_cache, lengths, *, bk: int = 512,
     elt = jnp.dtype(k_cache.dtype).itemsize
     budget = 6 * 1024 * 1024
     bk_cap = max(budget // (4 * kvh * d * elt) // 128 * 128, 128)
-    bk = min(bk, bk_cap, t)
-    assert t % bk == 0, (t, bk)
+    bk = _divisor_block(t, min(bk, bk_cap, t))
     qg = q.reshape(b, kvh, rep, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -166,4 +174,139 @@ def decode_attention(q, k_cache, v_cache, lengths, *, bk: int = 512,
         ),
         interpret=default_interpret(interpret),
     )(lengths.astype(jnp.int32), qg, k_cache, v_cache)
+    return out.reshape(b, h * d)
+
+
+# ------------------------------------------------------- KV8 cache variant
+
+def _kernel_q8(bk: int, kvh: int, rep: int, d: int, t_total: int,
+               scale: float):
+    nk_max = t_total // bk
+
+    def kernel(len_ref, q_ref, qk_hbm, sk_hbm, qv_hbm, sv_hbm, o_ref,
+               bufk, bufsk, bufv, bufsv, sems):
+        b = pl.program_id(0)
+        length = len_ref[b]
+        nk = jnp.minimum((length + bk - 1) // bk, nk_max)
+
+        def dmas(slot, t):
+            start = jnp.minimum(t, nk_max - 1) * bk
+            return [
+                pltpu.make_async_copy(qk_hbm.at[b, pl.ds(start, bk)],
+                                      bufk.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(sk_hbm.at[b, pl.ds(start, bk)],
+                                      bufsk.at[slot], sems.at[slot, 1]),
+                pltpu.make_async_copy(qv_hbm.at[b, pl.ds(start, bk)],
+                                      bufv.at[slot], sems.at[slot, 2]),
+                pltpu.make_async_copy(sv_hbm.at[b, pl.ds(start, bk)],
+                                      bufsv.at[slot], sems.at[slot, 3]),
+            ]
+
+        for dma in dmas(0, 0):
+            dma.start()
+        if nk_max > 1:
+            @pl.when(nk > 1)
+            def _():
+                for dma in dmas(1, 1):
+                    dma.start()
+
+        q = q_ref[0].astype(jnp.float32) * scale     # (kvh, rep, d)
+
+        def body(t, carry):
+            o, m, l = carry
+            slot = jax.lax.rem(t, 2)
+            for dma in dmas(slot, t):
+                dma.wait()
+            # scales folded as (1, bk) row vectors per head — the int8
+            # values are cast, never re-multiplied elementwise over D
+            k_heads = [bufk[slot, :, g].astype(jnp.float32)
+                       for g in range(kvh)]
+            v_heads = [bufv[slot, :, g] for g in range(kvh)]
+            sk_rows = [bufsk[slot, :, g][None, :] for g in range(kvh)]
+            sv_rows = [bufsv[slot, :, g][None, :] for g in range(kvh)]
+            s = jnp.stack([
+                jax.lax.dot_general(q[g], k_heads[g],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                * sk_rows[g]
+                for g in range(kvh)], axis=0)        # (kvh, rep, bk)
+            k_pos = t * bk + jax.lax.broadcasted_iota(jnp.int32,
+                                                      (1, 1, bk), 2)
+            s = jnp.where(k_pos < length, s, NEG_INF)
+            m_blk = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m, m_blk)
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            o_new = o * alpha + jnp.stack([
+                jax.lax.dot_general(
+                    (p[g] * sv_rows[g]).astype(jnp.bfloat16),
+                    v_heads[g].astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                for g in range(kvh)], axis=0)        # (kvh, rep, d)
+
+            @pl.when(t + 2 < nk)
+            def _():
+                for dma in dmas(slot, t + 2):
+                    dma.start()
+            return o_new, m_new, l_new
+
+        o0 = jnp.zeros((kvh, rep, d), jnp.float32)
+        m0 = jnp.full((kvh, rep, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((kvh, rep, 1), jnp.float32)
+        o, m, l = jax.lax.fori_loop(0, nk, body, (o0, m0, l0))
+        o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("bk", "interpret"))
+def decode_attention_q8(q, qk, sk, qv, sv, lengths, *, bk: int = 512,
+                        interpret: bool | None = None):
+    """KV8-cache variant: qk/qv (B, T, KVH, D) int8, sk/sv
+    (B, T, 128) fp32 per-(token, head) scales (lane-padded to a full
+    128 tile; heads occupy the first KVH lanes). Same online-softmax
+    contract as decode_attention with the scales folded into the score
+    and probability rows (rank-1 in t, so they commute); cache traffic
+    is HALF the bf16 path's on top of the length-aware chunking."""
+    b, h, d = q.shape
+    _, t, kvh, _ = qk.shape
+    rep = h // kvh
+    assert sk.shape[-1] == 128 and sv.shape[-1] == 128, \
+        "scales must be lane-padded to 128 (pad at WRITE time, not here)"
+    elt = 1  # int8 chunks dominate
+    budget = 6 * 1024 * 1024
+    bk_cap = max(budget // (4 * kvh * d * elt) // 128 * 128, 128)
+    bk = _divisor_block(t, min(bk, bk_cap, t))
+    qg = q.reshape(b, kvh, rep, d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, kvh, rep, d), lambda bi, lens: (bi, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, kvh, rep, d),
+                               lambda bi, lens: (bi, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, bk, kvh, d), jnp.int8),
+            pltpu.VMEM((2, bk, 128), jnp.float32),
+            pltpu.VMEM((2, bk, kvh, d), jnp.int8),
+            pltpu.VMEM((2, bk, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    out = pl.pallas_call(
+        _kernel_q8(bk, kvh, rep, d, t, d ** -0.5),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kvh, rep, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=default_interpret(interpret),
+    )(lengths.astype(jnp.int32), qg, qk, sk, qv, sv)
     return out.reshape(b, h * d)

@@ -57,7 +57,8 @@ class ServingEngine:
     def __init__(self, cfg: llama.LlamaConfig, params: dict[str, Any],
                  batch_slots: int = 4, mesh=None,
                  use_pallas: bool | None = None,
-                 sample: Callable | None = None):
+                 sample: Callable | None = None,
+                 cache_kind: str = "bf16"):
         self.cfg = cfg
         self.batch = batch_slots
         if mesh is not None:
@@ -112,7 +113,8 @@ class ServingEngine:
         self._prefill = _prefill
         self._sample_one = lambda logits, s, idx, key: int(
             _sample_one(logits, s, idx, key))
-        self.cache = llama.init_kv_cache(cfg, batch_slots, cache_dtype)
+        self.cache = llama.init_kv_cache(cfg, batch_slots, cache_dtype,
+                                         quantized=cache_kind == "int8")
         self.slot_req: list[Request | None] = [None] * batch_slots
         self.slot_pos = np.zeros(batch_slots, np.int32)
         self.slot_tok = np.zeros(batch_slots, np.int32)
@@ -201,14 +203,15 @@ class ServingEngine:
 
 def decode_tokens_per_sec(cfg, params, batch: int = 8, steps: int = 32,
                           use_pallas: bool | None = None,
-                          mesh=None) -> float:
+                          mesh=None, cache_kind: str = "bf16") -> float:
     """Steady-state decode throughput (tokens/s) at a fixed batch."""
     from how_to_optimize_gemm_tpu.utils.timing import measure
 
     if mesh is not None:
         from how_to_optimize_gemm_tpu.parallel.sharding import shard_params
         params = shard_params(params, mesh)
-    cache = llama.init_kv_cache(cfg, batch)
+    cache = llama.init_kv_cache(cfg, batch,
+                                quantized=cache_kind == "int8")
     tokens = jnp.ones((batch, 1), jnp.int32)
     pos = jnp.zeros((batch,), jnp.int32)
 

@@ -46,3 +46,28 @@ def test_block_size_invariance():
                           interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=0,
                                atol=2e-2)
+
+
+def test_kv8_kernel_matches_eager_kv8():
+    from how_to_optimize_gemm_tpu.models.llama import (_attention_kv8,
+                                                       quantize_kv)
+    from how_to_optimize_gemm_tpu.ops.pallas_decode_attention import (
+        decode_attention_q8)
+
+    b, t, h, kvh, d = 2, 64, 4, 2, 64
+    key = jax.random.PRNGKey(3)
+    q = jax.random.normal(key, (b, h, d), jnp.float32)
+    k = jax.random.normal(jax.random.split(key)[0], (b, t, kvh, d))
+    v = jax.random.normal(jax.random.split(key)[1], (b, t, kvh, d))
+    qk, sk = quantize_kv(k)
+    qv, sv = quantize_kv(v)
+    pad = ((0, 0), (0, 0), (0, 128 - kvh))
+    sk = jnp.pad(sk, pad)
+    sv = jnp.pad(sv, pad)
+    lengths = jnp.asarray([37, 9], jnp.int32)
+    valid = (jnp.arange(t)[None, None, :] < lengths[:, None, None])
+    ref = _attention_kv8(q[:, None], qk, sk, qv, sv, valid)[:, 0]
+    got = decode_attention_q8(q, qk, sk, qv, sv, lengths, bk=32,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=3e-2)

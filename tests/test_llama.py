@@ -115,3 +115,41 @@ def test_flash_train_loss_matches_eager():
     b = np.asarray(gf["layers"][0]["wq"]["fp32_w"])
     scale = np.max(np.abs(a)) + 1e-9
     np.testing.assert_allclose(b / scale, a / scale, rtol=0, atol=5e-2)
+
+
+def test_kv8_cache_decode_close_to_bf16():
+    """int8 (KV8) cache halves memory; decode logits stay close to the
+    bf16-cache path and the quantizer round-trips within 1/127."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from how_to_optimize_gemm_tpu.models import llama
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 4, 8))
+    q, scale = llama.quantize_kv(x)
+    back = q.astype(jnp.float32) * scale[..., None]
+    assert float(jnp.max(jnp.abs(back - x))) <= float(
+        jnp.max(jnp.abs(x))) / 127 + 1e-6
+
+    cfg = llama.LlamaConfig(vocab=64, d_model=64, n_layers=2, n_heads=4,
+                            n_kv_heads=2, d_ff=128, max_seq=32,
+                            weight_kind="fp32")
+    params = llama.init_params(jax.random.PRNGKey(1), cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (2, 1), 0,
+                                cfg.vocab)
+    pos = jnp.asarray([5, 9], jnp.int32)
+
+    def run(quantized):
+        cache = llama.init_kv_cache(cfg, 2, quantized=quantized)
+        # warm the cache with a few steps so attention reads history
+        c = cache
+        for t in range(5):
+            logits, c = llama.decode_step(
+                params, cfg, c, tokens + t, jnp.asarray([t, t], jnp.int32),
+                use_pallas=False)
+        return logits
+
+    ref = np.asarray(run(False))
+    got = np.asarray(run(True))
+    rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert rel < 0.05, rel

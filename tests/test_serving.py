@@ -74,3 +74,20 @@ def test_sampling_engine(params):
     out_h = hot.run(reqs())[0].out
     assert len(out_h) == 5
     assert all(0 <= t < CFG.vocab for t in out_h)
+
+
+def test_engine_kv8_cache(params):
+    """The int8 (KV8) cache engine serves correctly — outputs stay close
+    to the bf16-cache engine (quantization noise can flip late greedy
+    ties, so compare prefix + validity instead of exact equality)."""
+    reqs = lambda: [Request(uid=0, prompt=[3, 5, 7], max_new=6),
+                    Request(uid=1, prompt=[11, 2], max_new=6)]
+    ref = ServingEngine(CFG, params, batch_slots=2, use_pallas=False)
+    out_ref = [r.out for r in ref.run(reqs())]
+    q8 = ServingEngine(CFG, params, batch_slots=2, use_pallas=False,
+                       cache_kind="int8")
+    out_q8 = [r.out for r in q8.run(reqs())]
+    for a, b in zip(out_ref, out_q8):
+        assert len(b) == len(a)
+        assert a[0] == b[0]          # first token uses no cache history
+        assert all(0 <= t < CFG.vocab for t in b)
