@@ -130,28 +130,37 @@ class ServingEngine:
         return p
 
     def _admit(self, queue: list[Request]) -> None:
-        """Fill empty slots from the queue: ONE masked-prefill call per
-        admitted request. The whole prompt goes through decode_step as a
-        (B, P) batch with write_mask selecting the new slot, so live
-        slots' caches are untouched; pad positions write bogus K/V beyond
-        the prompt, which is safe because decode overwrites a position
-        before the causal mask ever exposes it."""
+        """Fill ALL empty slots from the queue in ONE masked-prefill
+        dispatch: prompts go through decode_step as a (B, P) batch with
+        a multi-hot write_mask selecting the admitted slots (all start
+        at pos 0, so their attention is causal self-attention over their
+        own rows and rows never interact). Live slots' caches are
+        untouched; pad positions write bogus K/V beyond each prompt,
+        which is safe because decode overwrites a position before the
+        causal mask ever exposes it."""
+        admitted: list[tuple[int, Request]] = []
         for s in range(self.batch):
-            if self.slot_req[s] is not None or not queue:
-                continue
-            req = queue.pop(0)
-            self.slot_req[s] = req
-            plen = len(req.prompt)
-            bucket = min(self._bucket(plen), self.cfg.max_seq)
-            tokens = np.zeros((self.batch, bucket), np.int32)
-            tokens[s, :plen] = req.prompt
-            pos = self.slot_pos.copy()
+            if self.slot_req[s] is None and queue:
+                req = queue.pop(0)
+                self.slot_req[s] = req
+                admitted.append((s, req))
+        if not admitted:
+            return
+        bucket = min(self._bucket(max(len(r.prompt)
+                                      for _, r in admitted)),
+                     self.cfg.max_seq)
+        tokens = np.zeros((self.batch, bucket), np.int32)
+        pos = self.slot_pos.copy()
+        write_mask = np.zeros(self.batch, bool)
+        for s, req in admitted:
+            tokens[s, :len(req.prompt)] = req.prompt
             pos[s] = 0
-            write_mask = np.zeros(self.batch, bool)
             write_mask[s] = True
-            logits, self.cache = self._prefill(
-                self.params, self.cache, jnp.asarray(tokens),
-                jnp.asarray(pos), jnp.asarray(write_mask))
+        logits, self.cache = self._prefill(
+            self.params, self.cache, jnp.asarray(tokens),
+            jnp.asarray(pos), jnp.asarray(write_mask))
+        for s, req in admitted:
+            plen = len(req.prompt)
             self.slot_pos[s] = plen
             self._key, sub = jax.random.split(self._key)
             tok = self._sample_one(logits, s, plen - 1, sub)
