@@ -265,6 +265,9 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=256)
     ap.add_argument("--use-pallas", action="store_true", default=None)
+    ap.add_argument("--cache-kind", default="bf16",
+                    choices=["bf16", "int8"],
+                    help="int8 = KV8 quantized cache (half cache HBM)")
     args = ap.parse_args(argv)
 
     cfg = llama.LlamaConfig(
@@ -274,7 +277,8 @@ def main(argv=None):
     params = llama.init_params(jax.random.PRNGKey(0), cfg)
     tps = decode_tokens_per_sec(cfg, params, batch=args.batch,
                                 steps=args.steps,
-                                use_pallas=args.use_pallas)
+                                use_pallas=args.use_pallas,
+                                cache_kind=args.cache_kind)
     wbytes = {"fp32": 4, "bf16": 2, "int8": 1, "int4": 0.5}[
         args.weight_kind]
     nparam = (cfg.vocab * cfg.d_model * 2
