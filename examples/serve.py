@@ -1,0 +1,65 @@
+"""Serve a quantized model with continuous batching.
+
+    python examples/serve.py --weight-kind w4a8 --cache-kind int8
+
+Builds a random-weight model (swap in real weights via
+models/checkpoint.load_params), submits a few prompts, prints the
+generated ids and the measured throughput.
+"""
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+from how_to_optimize_gemm_tpu.models import llama
+from how_to_optimize_gemm_tpu.parallel.serving import (Request,
+                                                       ServingEngine,
+                                                       make_sampler)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--weight-kind", default="int8",
+                    choices=["fp32", "bf16", "int8", "int4", "w4a8"])
+    ap.add_argument("--cache-kind", default="bf16",
+                    choices=["bf16", "int8"])
+    ap.add_argument("--d-model", type=int, default=2048)
+    ap.add_argument("--n-layers", type=int, default=8)
+    ap.add_argument("--slots", type=int, default=4)
+    ap.add_argument("--requests", type=int, default=8)
+    ap.add_argument("--max-new", type=int, default=64)
+    ap.add_argument("--temperature", type=float, default=0.0)
+    args = ap.parse_args()
+
+    cfg = llama.LlamaConfig(
+        vocab=32000, d_model=args.d_model, n_layers=args.n_layers,
+        n_heads=16, n_kv_heads=4, d_ff=args.d_model * 11 // 4,
+        max_seq=2048, weight_kind=args.weight_kind)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+
+    eng = ServingEngine(cfg, params, batch_slots=args.slots,
+                        cache_kind=args.cache_kind,
+                        sample=make_sampler(args.temperature, top_k=40))
+    rng = np.random.default_rng(0)
+    mk = lambda: [Request(uid=i,
+                          prompt=list(rng.integers(1, 30000, 64)),
+                          max_new=args.max_new)
+                  for i in range(args.requests)]
+    eng.run(mk(), window=16)       # warm every compile path
+    t0 = time.perf_counter()
+    done = eng.run(mk(), window=16)
+    dt = time.perf_counter() - t0
+    ntok = sum(len(r.out) for r in done)
+    for r in done[:2]:
+        print(f"request {r.uid}: {r.out[:8]}...")
+    print(f"{ntok} tokens in {dt:.2f}s = {ntok / dt:.0f} tok/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,6 @@ def make_mesh(dp: int = 1, tp: int | None = None,
     if tp is None:
         assert n % dp == 0, (n, dp)
         tp = n // dp
-    assert dp * tp == n, f"dp*tp={dp * tp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, tp)
+    assert dp * tp <= n, f"dp*tp={dp * tp} > {n} devices"
+    arr = np.asarray(devices[:dp * tp]).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
