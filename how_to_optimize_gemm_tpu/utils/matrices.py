@@ -38,3 +38,25 @@ def make_abc(key: jax.Array, m: int, n: int, k: int, dtype=jnp.float32,
     b = random_matrix(kb, k, n, dtype)
     c = random_matrix(kc, m, n, jnp.float32)
     return a, b, c
+
+
+def print_matrix(x, name: str = "", max_rows: int = 8,
+                 max_cols: int = 8) -> None:
+    """Debug dump — parity with the reference's ``print_matrix.cpp`` and
+    the ``DEBUG_PRINT_DATA`` blocks inside ladder rungs
+    (``aarch64/MMult_4x4_13.cpp:13-16``): prints a top-left window with
+    coordinates so packing/layout mistakes are visible at a glance."""
+    import numpy as np
+    arr = np.asarray(x)
+    r, c = arr.shape[:2]
+    print(f"{name or 'matrix'} {arr.shape} {arr.dtype} "
+          f"[:{min(r, max_rows)}, :{min(c, max_cols)}] =")
+    with np.printoptions(precision=4, suppress=True):
+        print(arr[:max_rows, :max_cols])
+
+
+def copy_matrix(x) -> "jax.Array":
+    """Fresh device copy (``copy_matrix.cpp`` parity): use when a timed
+    kernel mutates/donates its input and the harness needs the original
+    back for the oracle."""
+    return jnp.array(x, copy=True)
