@@ -243,54 +243,57 @@ def _bwd_dkv_kernel(bq: int, bk: int, rep: int, scale: float,
     nq = s_total // bq
 
     def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-               dk_ref, dv_ref):
+               dk_ref, dv_ref, dk_acc, dv_acc):
         ki = pl.program_id(2)
-        k_blk = k_ref[0, 0, pl.ds(ki * bk, bk)].astype(jnp.float32)
-        v_blk = v_ref[0, 0, pl.ds(ki * bk, bk)].astype(jnp.float32)
-        d = k_blk.shape[-1]
+        qi = pl.program_id(3)
+        k_blk = k_ref[0, 0].astype(jnp.float32)      # (bk, d)
+        v_blk = v_ref[0, 0].astype(jnp.float32)
         k_pos = ki * bk + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
 
-        dk = jnp.zeros((bk, d), jnp.float32)
-        dv = jnp.zeros((bk, d), jnp.float32)
-        # accumulate over the rep query heads of this kv group
-        for r in range(rep):
-            def body(qi, carry, r=r):
-                dk, dv = carry
-                q = q_ref[0, 0, r, pl.ds(qi * bq, bq)].astype(
-                    jnp.float32) * scale                 # (bq, d)
-                do = do_ref[0, 0, r, pl.ds(qi * bq, bq)].astype(
-                    jnp.float32)
-                # refs are (rep, s, 8): trailing 8 is lane padding; keep
-                # one lane as the (bq, 1) broadcast column
-                lse = lse_ref[r, pl.ds(qi * bq, bq)][:, :1]
-                delta = delta_ref[r, pl.ds(qi * bq, bq)][:, :1]
-                s = jax.lax.dot_general(
+        @pl.when(qi == 0)
+        def _init():
+            dk_acc[:] = jnp.zeros_like(dk_acc)
+            dv_acc[:] = jnp.zeros_like(dv_acc)
+
+        # causal: q blocks strictly before this kv block contribute
+        # nothing (their rows never attend here) — skip the compute
+        # (their blocks still stream; grid cells can't be skipped).
+        live = (qi * bq + bq > ki * bk) if causal else True
+
+        @pl.when(live if causal else qi >= 0)
+        def _accumulate():
+            dk = dk_acc[:]
+            dv = dv_acc[:]
+            for r in range(rep):
+                q = q_ref[0, 0, r].astype(jnp.float32) * scale  # (bq, d)
+                do = do_ref[0, 0, r].astype(jnp.float32)
+                lse = lse_ref[r][:, :1]
+                delta = delta_ref[r][:, :1]
+                s_ = jax.lax.dot_general(
                     q, k_blk, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)  # (bq, bk)
                 if causal:
                     q_pos = qi * bq + jax.lax.broadcasted_iota(
                         jnp.int32, (bq, 1), 0)
-                    s = jnp.where(k_pos <= q_pos, s, NEG_INF)
-                p = jnp.exp(s - lse)
+                    s_ = jnp.where(k_pos <= q_pos, s_, NEG_INF)
+                pmat = jnp.exp(s_ - lse)
                 dv = dv + jax.lax.dot_general(
-                    p, do, (((0,), (0,)), ((), ())),
+                    pmat, do, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)  # (bk, d)
                 dp = jax.lax.dot_general(
                     do, v_blk, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)  # (bq, bk)
-                ds = p * (dp - delta)
+                ds = pmat * (dp - delta)
                 dk = dk + jax.lax.dot_general(
                     ds, q, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)  # (bk, d)
-                return dk, dv
+            dk_acc[:] = dk
+            dv_acc[:] = dv
 
-            if causal:
-                q_lo = (ki * bk) // bq
-            else:
-                q_lo = 0
-            dk, dv = jax.lax.fori_loop(q_lo, nq, body, (dk, dv))
-        dk_ref[0, 0, pl.ds(ki * bk, bk)] = dk.astype(dk_ref.dtype)
-        dv_ref[0, 0, pl.ds(ki * bk, bk)] = dv.astype(dv_ref.dtype)
+        @pl.when(qi == nq - 1)
+        def _flush():
+            dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+            dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
     return kernel
 
@@ -375,46 +378,57 @@ def _flash_bwd(q, k, v, o, lse, do, causal, bq, bk, interpret):
 
     # group-major views for the dk/dv pass: (b, kvh, rep, s, ...) — pure
     # reshapes of the contiguous (b, h, ...) layout (h = g*rep + r).
-    # bf16 strips: the full-S q/do strips per (b, g) live in VMEM.
     q5 = q.reshape(b, kvh, rep, s, d).astype(jnp.bfloat16)
     do5 = do.reshape(b, kvh, rep, s, d).astype(jnp.bfloat16)
     lse5 = lse.reshape(b, kvh, rep, s, 8)
     delta5 = delta.reshape(b, kvh, rep, s, 8)
 
+    # 4D grid, qi innermost: dk/dv OUT blocks are revisited across qi and
+    # accumulated in VMEM scratch — no full-S strips, so trainable S is
+    # unbounded (the previous design held (rep, S, d) q/do strips in VMEM
+    # and capped S at ~4k).
     dk, dv = pl.pallas_call(
         _bwd_dkv_kernel(bq, bk, rep, scale, causal, s),
-        grid=(b, kvh, t // bk),
+        grid=(b, kvh, t // bk, s // bq),
         in_specs=[
-            pl.BlockSpec((1, 1, rep, s, d),
-                         lambda bi, gi, ki: (bi, gi, 0, 0, 0),
+            pl.BlockSpec((1, 1, rep, bq, d),
+                         lambda bi, gi, ki, qi: (bi, gi, 0, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t, d), lambda bi, gi, ki: (bi, gi, 0, 0),
+            pl.BlockSpec((1, 1, bk, d),
+                         lambda bi, gi, ki, qi: (bi, gi, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t, d), lambda bi, gi, ki: (bi, gi, 0, 0),
+            pl.BlockSpec((1, 1, bk, d),
+                         lambda bi, gi, ki, qi: (bi, gi, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rep, s, d),
-                         lambda bi, gi, ki: (bi, gi, 0, 0, 0),
+            pl.BlockSpec((1, 1, rep, bq, d),
+                         lambda bi, gi, ki, qi: (bi, gi, 0, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, rep, s, 8),
-                         lambda bi, gi, ki: (bi, gi, 0, 0, 0),
+            pl.BlockSpec((None, None, rep, bq, 8),
+                         lambda bi, gi, ki, qi: (bi, gi, 0, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, rep, s, 8),
-                         lambda bi, gi, ki: (bi, gi, 0, 0, 0),
+            pl.BlockSpec((None, None, rep, bq, 8),
+                         lambda bi, gi, ki, qi: (bi, gi, 0, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, t, d), lambda bi, gi, ki: (bi, gi, 0, 0),
+            pl.BlockSpec((1, 1, bk, d),
+                         lambda bi, gi, ki, qi: (bi, gi, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t, d), lambda bi, gi, ki: (bi, gi, 0, 0),
+            pl.BlockSpec((1, 1, bk, d),
+                         lambda bi, gi, ki, qi: (bi, gi, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, kvh, t, d), jnp.float32),
             jax.ShapeDtypeStruct((b, kvh, t, d), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
-            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary", "arbitrary",
+                                 "arbitrary"),
         ),
         interpret=default_interpret(interpret),
     )(q5, k, v, do5, lse5, delta5)
@@ -429,11 +443,10 @@ def flash_attention_train(q, k, v, causal: bool = True, bq: int = 512,
     Same contract as ``flash_attention`` plus a custom VJP: the backward
     pass recomputes per-block attention against the saved logsumexp rows
     (the standard flash backward) in two Pallas kernels — a dq pass
-    gridded like the forward and a dk/dv pass gridded over KV blocks with
-    the rep query heads of each GQA group accumulated in-kernel. Memory:
-    the dk/dv pass holds full-S q/do strips per (batch, kv-head) in VMEM
-    (bf16), which bounds trainable S to ~2k at d=128 / ~4k at d=64 —
-    documented, not silent."""
+    gridded like the forward and a dk/dv pass on a (b, g, ki, qi) grid
+    whose dk/dv output blocks are revisited across qi and accumulated in
+    VMEM scratch: blocks stream, nothing scales with S, trainable
+    sequence length is unbounded."""
     bq = min(bq, q.shape[2])
     bk = min(bk, k.shape[2])
     out, _ = _flash_fwd_lse(q, k, v, causal, bq, bk, interpret)
