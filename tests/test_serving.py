@@ -91,3 +91,24 @@ def test_engine_kv8_cache(params):
         assert len(b) == len(a)
         assert a[0] == b[0]          # first token uses no cache history
         assert all(0 <= t < CFG.vocab for t in b)
+
+
+def test_engine_tp_sharded(devices8):
+    """ServingEngine over a (1, tp=4) mesh: XLA shards the Megatron
+    layout and inserts the ICI collectives; greedy output matches the
+    unsharded engine exactly."""
+    from how_to_optimize_gemm_tpu.parallel.mesh import make_mesh
+
+    cfg = llama.LlamaConfig(vocab=64, d_model=16 * 4, n_layers=2,
+                            n_heads=4, n_kv_heads=4, d_ff=32 * 4,
+                            max_seq=32, weight_kind="fp32")
+    params = llama.init_params(jax.random.PRNGKey(5), cfg)
+    reqs = lambda: [Request(uid=0, prompt=[3, 5, 7], max_new=5),
+                    Request(uid=1, prompt=[9], max_new=5)]
+    plain = ServingEngine(cfg, params, batch_slots=2, use_pallas=False)
+    out_plain = [r.out for r in plain.run(reqs())]
+    mesh = make_mesh(dp=1, tp=4, devices=devices8[:4])
+    tp = ServingEngine(cfg, params, batch_slots=2, mesh=mesh,
+                       use_pallas=False)
+    out_tp = [r.out for r in tp.run(reqs())]
+    assert out_tp == out_plain
