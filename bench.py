@@ -19,9 +19,9 @@ REFERENCE_BEST_GFLOPS = 22418.0  # cuda_12 sweep peak (BASELINE.md)
 # population of the reference's headline chart (custom rungs AND cuBLAS,
 # README.md:96-102). Peak = best correctness-gated rung over the sweep.
 # Each rung swept at the sizes where IT peaks (from the committed full
-# sweeps in outputs/); the fp64 quantization-error oracle is skipped
-# (it gates nothing and doubles host time — the KERNEL gate still runs
-# on every row). Keeps the whole bench under the driver's timeout.
+# sweeps in outputs/). The fp64 oracle gates each rung ONCE at p=1024
+# (minutes of host time per 4096-sized oracle row would blow the
+# driver's bench timeout); the peak-size rows are then timed gate-free.
 RUNGS = {
     "06_pallas_int8": (2048, 3584),
     "06v_xla_int8": (3584, 4096),
@@ -36,11 +36,17 @@ def main() -> None:
     peak = 0.0
     best = None
     for rung, sizes in RUNGS.items():
+        gate_cfg = SweepConfig(pfirst=1024, plast=1024, pinc=1,
+                               nrepeats=2, warmup=0)
+        gate = run_sweep(rung, gate_cfg, verbose=False,
+                         quant_oracle=False)   # raises on gate trip
+        print(f"# {rung} gate@1024 kernel_rel={gate[0].kernel_rel:.2e}",
+              file=sys.stderr)
         for p in sizes:
             cfg = SweepConfig(pfirst=p, plast=p, pinc=1, nrepeats=8,
                               warmup=1)
             rows = run_sweep(rung, cfg, verbose=False,
-                             quant_oracle=False)
+                             quant_oracle=False, verify=False)
             for r in rows:
                 print(f"# {rung} p={r.p} {r.gflops:.1f} GFLOPS "
                       f"(kernel_rel={r.kernel_rel:.2e})", file=sys.stderr)

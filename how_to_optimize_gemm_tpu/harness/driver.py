@@ -46,7 +46,12 @@ class SweepRow:
 def run_sweep(rung_name: str, config: SweepConfig | None = None,
               output_dir=None, strict: bool = True,
               verbose: bool = True,
-              quant_oracle: bool = True) -> list[SweepRow]:
+              quant_oracle: bool = True,
+              verify: bool = True) -> list[SweepRow]:
+    """verify=False skips the per-size oracle entirely — ONLY for
+    callers that gated the same rung at another size in the same run
+    (bench.py gates at p=1024, then times the peak sizes; the fp64
+    oracle at 4096 costs minutes of host time per row)."""
     config = config or SweepConfig()
     rung = registry.get(rung_name)
     key = jax.random.PRNGKey(config.seed)
@@ -56,12 +61,16 @@ def run_sweep(rung_name: str, config: SweepConfig | None = None,
         a, b, c = make_abc(sub, m, n, k, ones=config.ones_fixture)
         prepared = jax.block_until_ready(rung.prepare(a, b))
 
-        out = np.asarray(rung.run(*prepared, c))
-        ae, be = rung.effective(prepared)
-        ref_eff = oracle.ref_mmult(np.asarray(ae), np.asarray(be),
-                                   np.asarray(c))
-        cmp_eff = oracle.compare_matrices(out, ref_eff, rung.gate_rel)
-        if quant_oracle:
+        if not verify:
+            cmp_eff = oracle.CompareResult(0.0, 0.0, None)
+            cmp_q = cmp_eff
+        else:
+            out = np.asarray(rung.run(*prepared, c))
+            ae, be = rung.effective(prepared)
+            ref_eff = oracle.ref_mmult(np.asarray(ae), np.asarray(be),
+                                       np.asarray(c))
+            cmp_eff = oracle.compare_matrices(out, ref_eff, rung.gate_rel)
+        if verify and quant_oracle:
             # second fp64 matmul (vs ORIGINAL operands): reports
             # quantization error separately from kernel error. Skippable
             # (bench.py): it doubles the oracle cost and gates nothing.
