@@ -79,3 +79,13 @@ def test_diff_gate_trips():
 def test_sweep_config_pinning():
     cfg = SweepConfig(pfirst=100, plast=300, pinc=100, k=64)
     assert cfg.sizes() == [(100, 100, 64), (200, 200, 64), (300, 300, 64)]
+
+
+def test_run_sweep_verify_flag():
+    """verify=False skips the oracle (bench.py's gate-once pattern)."""
+    from how_to_optimize_gemm_tpu.harness.driver import run_sweep
+    from how_to_optimize_gemm_tpu.harness.parameters import SweepConfig
+
+    cfg = SweepConfig(pfirst=64, plast=64, pinc=1, nrepeats=2, warmup=0)
+    rows = run_sweep("01_xla_fp32", cfg, verbose=False, verify=False)
+    assert rows[0].kernel_rel == 0.0 and rows[0].gflops > 0
