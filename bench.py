@@ -25,7 +25,7 @@ REFERENCE_BEST_GFLOPS = 22418.0  # cuda_12 sweep peak (BASELINE.md)
 RUNGS = {
     "06_pallas_int8": (2048, 3584),
     "06v_xla_int8": (3584, 4096),
-    "07b_pallas_w4a8": (2048,),
+    "07b_pallas_w4a8": (2048, 3584),
 }
 
 

@@ -104,8 +104,13 @@ def choose_blocks_w4(m: int, n: int, kp: int) -> tuple[int, int, int]:
         return bm, bn, min(512, kp)
     bm = min(bounds.round_up(m, 128), 512)
     bn = min(bounds.round_up(n, 128), 512)
+    # largest 512-multiple DIVISOR of the packed K, capped at 4096 (the
+    # packed layout can't be re-padded here, so bk must divide kp; a
+    # power-of-two-only candidate list dropped K=3584 all the way to
+    # bk=512 — 330 vs 236 TOPS of difference for w4a8 at p=3584-class
+    # shapes)
     bk = 512
-    for cand in (4096, 2048, 1024):
+    for cand in range(min(bounds.round_up(kp, 512), 4096), 0, -512):
         if kp % cand == 0:
             bk = cand
             break
