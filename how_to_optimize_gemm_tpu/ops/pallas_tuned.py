@@ -52,14 +52,18 @@ def choose_blocks(m: int, n: int, k: int, in_bytes: int = 4):
 
     bm = min(bounds.round_up(m, MXU), 512)
     bn = min(bounds.round_up(n, MXU), 512)
-    bk = min(bounds.round_up(k, MXU), 2048)
-    while not fits(bm, bn, bk) and bk > MXU:
-        bk //= 2
-    while not fits(bm, bn, bk) and max(bm, bn) > MXU:
+    bk_cap = min(bounds.round_up(k, MXU), 2048)
+    while not fits(bm, bn, bk_cap) and bk_cap > MXU:
+        bk_cap //= 2
+    while not fits(bm, bn, bk_cap) and max(bm, bn) > MXU:
         if bm >= bn:
             bm //= 2
         else:
             bn //= 2
+    # within the capacity cap, pick the K block that minimizes padding
+    # (a raw cap padded e.g. k=2560 up to 4096 — +60% work, visible as
+    # the bf16 sweep's dips at non-power-of-two sizes)
+    bk = bounds._least_waste(bounds.round_up(k, MXU), bk_cap, MXU)
     return bm, bn, bk
 
 
