@@ -142,6 +142,12 @@ class ServingEngine:
         for s in range(self.batch):
             if self.slot_req[s] is None and queue:
                 req = queue.pop(0)
+                if len(req.prompt) >= self.cfg.max_seq:
+                    raise ValueError(
+                        f"request {req.uid}: prompt length "
+                        f"{len(req.prompt)} >= max_seq {self.cfg.max_seq}"
+                        " (no room to generate); raise cfg.max_seq or"
+                        " truncate the prompt")
                 self.slot_req[s] = req
                 admitted.append((s, req))
         if not admitted:

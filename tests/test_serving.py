@@ -112,3 +112,11 @@ def test_engine_tp_sharded(devices8):
                        use_pallas=False)
     out_tp = [r.out for r in tp.run(reqs())]
     assert out_tp == out_plain
+
+
+def test_overlong_prompt_rejected(params):
+    eng = ServingEngine(CFG, params, batch_slots=1, use_pallas=False)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_seq"):
+        eng.run([Request(uid=0, prompt=list(range(CFG.max_seq + 2)),
+                         max_new=1)])
