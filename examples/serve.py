@@ -58,7 +58,10 @@ def main():
     ntok = sum(len(r.out) for r in done)
     for r in done[:2]:
         print(f"request {r.uid}: {r.out[:8]}...")
-    print(f"{ntok} tokens in {dt:.2f}s = {ntok / dt:.0f} tok/s")
+    ttfts = [r.t_first - r.t_submit for r in done if r.t_first]
+    print(f"{ntok} tokens in {dt:.2f}s = {ntok / dt:.0f} tok/s; "
+          f"TTFT p50={sorted(ttfts)[len(ttfts) // 2] * 1e3:.0f} ms "
+          f"max={max(ttfts) * 1e3:.0f} ms")
 
 
 if __name__ == "__main__":

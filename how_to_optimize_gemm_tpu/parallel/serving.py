@@ -32,6 +32,10 @@ class Request:
     max_new: int
     out: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    # latency bookkeeping (host wall clock, filled by the engine):
+    t_submit: float = 0.0   # run() saw the request
+    t_first: float = 0.0    # first token produced (TTFT = t_first-t_submit)
+    t_done: float = 0.0
 
 
 def make_sampler(temperature: float = 1.0, top_k: int = 0):
@@ -165,6 +169,8 @@ class ServingEngine:
         logits, self.cache = self._prefill(
             self.params, self.cache, jnp.asarray(tokens),
             jnp.asarray(pos), jnp.asarray(write_mask))
+        import time as _time
+        now = _time.perf_counter()
         for s, req in admitted:
             plen = len(req.prompt)
             self.slot_pos[s] = plen
@@ -172,6 +178,7 @@ class ServingEngine:
             tok = self._sample_one(logits, s, plen - 1, sub)
             self.slot_tok[s] = tok
             req.out.append(tok)
+            req.t_first = now
 
     # -------------------------------------------------------------- run
     def run(self, requests: list[Request], eos_id: int | None = None,
@@ -182,7 +189,11 @@ class ServingEngine:
         The greedy token stream is IDENTICAL for any window (sampled
         streams stay correct but draw keys in a different order); only
         the host round-trip count changes."""
+        import time as _time
         queue = list(requests)
+        now = _time.perf_counter()
+        for r in queue:
+            r.t_submit = now
         self._admit(queue)
         while any(r is not None for r in self.slot_req):
             active_pos = [int(self.slot_pos[s]) for s in range(self.batch)
@@ -207,6 +218,7 @@ class ServingEngine:
                     full = self.slot_pos[s] + 1 >= self.cfg.max_seq
                     if len(req.out) >= req.max_new or hit_eos or full:
                         req.done = True
+                        req.t_done = _time.perf_counter()
                         self.slot_req[s] = None
                         self.slot_pos[s] = 0
                         self.slot_tok[s] = 0
