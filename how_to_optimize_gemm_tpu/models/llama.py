@@ -98,10 +98,14 @@ def requantize(params: dict, kind: str) -> dict:
         if k == "int8":
             return quant.dequantize(lin["int8_qw"], lin["int8_sw"])
         if k == "int4":
-            wq = quant.unpack_int4(lin["int4_packed"], 512)
+            # crop the pack-time K padding back to the stored true d_in
+            # (K=11008-class dims round up to 512 multiples when packed)
+            wq = quant.unpack_int4(lin["int4_packed"],
+                                   512)[:int(lin["int4_kdim"])]
             return quant.dequantize(wq, lin["int4_sw"])
         if k == "w4a8":
-            wq = quant.unpack_int4(lin["w4a8_packed"], 512)
+            wq = quant.unpack_int4(lin["w4a8_packed"],
+                                   512)[:int(lin["w4a8_kdim"])]
             return quant.dequantize(wq, lin["w4a8_sw"])
         raise ValueError(k)
 
@@ -490,14 +494,18 @@ def loss_fn(params, cfg: LlamaConfig, tokens: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("cfg", "lr"))
 def sgd_train_step(params, cfg: LlamaConfig, tokens, lr: float = 1e-2):
     """One SGD step (the dry-run trainer; optax wiring lives in
-    parallel/training.py). Quantized linears are frozen (no useful grad
-    through rounding); float leaves train."""
-    loss, grads = jax.value_and_grad(loss_fn)(params, cfg, tokens)
+    parallel/training.py). Quantized linears are frozen by construction:
+    autodiff only ever sees the float leaf subset (differentiating a
+    tree with int leaves is a hard TypeError in JAX, not a no-op)."""
+    from how_to_optimize_gemm_tpu.parallel.training import split_trainable
 
-    def upd(p, g):
-        if g is None or p.dtype not in (jnp.float32, jnp.bfloat16):
-            return p
-        return (p - lr * g.astype(p.dtype)).astype(p.dtype)
+    all_leaves = jax.tree.leaves(params)
+    floats, rebuild = split_trainable(params)
 
-    new_params = jax.tree.map(upd, params, grads)
-    return new_params, loss
+    def loss_of(floats):
+        return loss_fn(rebuild(floats, all_leaves), cfg, tokens)
+
+    loss, grads = jax.value_and_grad(loss_of)(floats)
+    floats = [(p - lr * g.astype(p.dtype)).astype(p.dtype)
+              for p, g in zip(floats, grads)]
+    return rebuild(floats, all_leaves), loss

@@ -29,7 +29,12 @@ def init_distributed(coordinator: str | None = None,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except (RuntimeError, ValueError):
-        pass  # already initialized, or single-process environment
+        if coordinator is not None or num_processes is not None:
+            # the caller asked for a SPECIFIC topology: a failure there
+            # is a real bring-up error, not "already initialized" —
+            # swallowing it would silently run on a fraction of the pod
+            raise
+        pass  # autodetect path: single-process or already initialized
     return jax.process_index()
 
 

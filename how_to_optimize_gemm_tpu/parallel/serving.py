@@ -122,6 +122,7 @@ class ServingEngine:
         self.slot_req: list[Request | None] = [None] * batch_slots
         self.slot_pos = np.zeros(batch_slots, np.int32)
         self.slot_tok = np.zeros(batch_slots, np.int32)
+        self._eos_id: int | None = None
 
     # ------------------------------------------------------------- admin
     @staticmethod
@@ -170,15 +171,26 @@ class ServingEngine:
             self.params, self.cache, jnp.asarray(tokens),
             jnp.asarray(pos), jnp.asarray(write_mask))
         import time as _time
-        now = _time.perf_counter()
         for s, req in admitted:
             plen = len(req.prompt)
             self.slot_pos[s] = plen
             self._key, sub = jax.random.split(self._key)
             tok = self._sample_one(logits, s, plen - 1, sub)
+            # timestamp AFTER the blocking sample (dispatch is async —
+            # stamping at dispatch return under-reported TTFT by nearly
+            # the whole prefill latency)
+            req.t_first = _time.perf_counter()
             self.slot_tok[s] = tok
             req.out.append(tok)
-            req.t_first = now
+            # the admit-time token counts: honor max_new=1 / EOS here
+            if (len(req.out) >= req.max_new
+                    or (self._eos_id is not None
+                        and tok == self._eos_id)):
+                req.done = True
+                req.t_done = req.t_first
+                self.slot_req[s] = None
+                self.slot_pos[s] = 0
+                self.slot_tok[s] = 0
 
     # -------------------------------------------------------------- run
     def run(self, requests: list[Request], eos_id: int | None = None,
@@ -194,12 +206,17 @@ class ServingEngine:
         now = _time.perf_counter()
         for r in queue:
             r.t_submit = now
+        self._eos_id = eos_id
         self._admit(queue)
         while any(r is not None for r in self.slot_req):
             active_pos = [int(self.slot_pos[s]) for s in range(self.batch)
                           if self.slot_req[s] is not None]
             w = max(1, min(window,
                            self.cfg.max_seq - 1 - max(active_pos)))
+            # round down to a power of two: w is a STATIC arg of the
+            # scanned decode step, and letting it count down 7,6,5,...
+            # near max_seq would recompile the whole scan per value
+            w = 1 << (w.bit_length() - 1)
             tokens = jnp.asarray(self.slot_tok.reshape(-1, 1))
             pos = jnp.asarray(self.slot_pos)
             self._key, sub = jax.random.split(self._key)

@@ -37,6 +37,7 @@ def _linear_specs(col_parallel: bool) -> dict[str, P]:
         "fp32_w": w, "bf16_w": w,
         "int8_qw": w, "int8_sw": scale,
         "int4_packed": w, "int4_sw": scale, "int4_kdim": P(),
+        "w4a8_packed": w, "w4a8_sw": scale, "w4a8_kdim": P(),
     }
 
 
@@ -83,16 +84,23 @@ def make_sharded_train_step(cfg, mesh: Mesh, lr: float = 1e-2):
     tp, gradients reduced by XLA's propagation."""
     from how_to_optimize_gemm_tpu.models import llama
 
+    from how_to_optimize_gemm_tpu.parallel.training import split_trainable
+
     def step(params, tokens):
-        loss, grads = jax.value_and_grad(llama.loss_fn)(params, cfg,
-                                                        tokens, False)
+        # differentiate only the float leaves: int leaves (quantized
+        # weights) would make value_and_grad raise outright, and
+        # dtype.kind checks are a trap (bf16 kind is 'V')
+        all_leaves = jax.tree.leaves(params)
+        floats, rebuild = split_trainable(params)
 
-        def upd(p, g):
-            if p.dtype.kind != "f":
-                return p
-            return (p - lr * g.astype(p.dtype)).astype(p.dtype)
+        def loss_of(floats):
+            return llama.loss_fn(rebuild(floats, all_leaves), cfg,
+                                 tokens, False)
 
-        return jax.tree.map(upd, params, grads), loss
+        loss, grads = jax.value_and_grad(loss_of)(floats)
+        floats = [(p - lr * g.astype(p.dtype)).astype(p.dtype)
+                  for p, g in zip(floats, grads)]
+        return rebuild(floats, all_leaves), loss
 
     token_sharding = NamedSharding(mesh, P("dp", None))
     return jax.jit(step, in_shardings=(None, token_sharding)), \

@@ -37,9 +37,15 @@ class TrainState:
     step: jnp.ndarray
 
 
+def is_float_leaf(leaf) -> bool:
+    """True for trainable (inexact) dtypes. NOTE: ``dtype.kind`` is NOT
+    usable here — ml_dtypes gives bfloat16 kind 'V', so a kind=='f'
+    check silently froze every bf16 weight (caught in review)."""
+    return jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
+
+
 def _float_indices(leaves):
-    return [i for i, leaf in enumerate(leaves)
-            if jnp.asarray(leaf).dtype.kind == "f"]
+    return [i for i, leaf in enumerate(leaves) if is_float_leaf(leaf)]
 
 
 def split_trainable(params):
@@ -109,13 +115,13 @@ def train(cfg, params, tokens_iter, n_steps: int, mesh: Mesh | None = None,
     orbax-style checkpoints (models/checkpoint.py) for resume."""
     optimizer = make_optimizer(lr)
     state = init_train_state(params, optimizer, mesh)
+    step_fn, _ = make_train_step(cfg, optimizer, mesh, remat)
     losses = []
     for i in range(n_steps):
         tokens = next(tokens_iter)
         if mesh is not None:
             tokens = jax.device_put(
                 tokens, NamedSharding(mesh, P("dp", None)))
-        step_fn, _ = _cached_step(cfg, optimizer, mesh, remat)
         state, loss = step_fn(state, tokens)
         losses.append(float(loss))
         if (checkpoint_dir and checkpoint_every
@@ -125,12 +131,3 @@ def train(cfg, params, tokens_iter, n_steps: int, mesh: Mesh | None = None,
                 f"{checkpoint_dir}/step_{i + 1:06d}", state.params)
     return state, losses
 
-
-_STEP_CACHE: dict = {}
-
-
-def _cached_step(cfg, optimizer, mesh, remat):
-    key = (id(optimizer), cfg, mesh, remat)
-    if key not in _STEP_CACHE:
-        _STEP_CACHE[key] = make_train_step(cfg, optimizer, mesh, remat)
-    return _STEP_CACHE[key]

@@ -120,3 +120,16 @@ def test_overlong_prompt_rejected(params):
     with _pytest.raises(ValueError, match="max_seq"):
         eng.run([Request(uid=0, prompt=list(range(CFG.max_seq + 2)),
                          max_new=1)])
+
+
+def test_max_new_one_and_first_token_eos(params):
+    """The admit-time token must count toward max_new and EOS."""
+    eng = ServingEngine(CFG, params, batch_slots=1, use_pallas=False)
+    done = eng.run([Request(uid=0, prompt=[3, 5], max_new=1)])
+    assert len(done[0].out) == 1 and done[0].done
+    # find the greedy first token, then use it as eos: 1 token only
+    first = done[0].out[0]
+    eng2 = ServingEngine(CFG, params, batch_slots=1, use_pallas=False)
+    done2 = eng2.run([Request(uid=0, prompt=[3, 5], max_new=8)],
+                     eos_id=first)
+    assert done2[0].out == [first]
