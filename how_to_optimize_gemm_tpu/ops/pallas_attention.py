@@ -31,8 +31,13 @@ from how_to_optimize_gemm_tpu.utils.env import default_interpret
 NEG_INF = -1e30
 
 
-def _kernel(bq: int, bk: int, scale: float, causal: bool, t_total: int):
+def _kernel(bq: int, bk: int, scale: float, causal: bool, t_total: int,
+            s_total: int):
     nkv = t_total // bk
+    # queries are the LAST s_total positions of the t_total context, so
+    # causal masking with a K/V prefix (T > S: chunked prefill against
+    # history) offsets every query position by T - S
+    off = t_total - s_total
 
     def kernel(q_ref, k_ref, v_ref, o_ref):
         qi = pl.program_id(2)
@@ -40,7 +45,8 @@ def _kernel(bq: int, bk: int, scale: float, causal: bool, t_total: int):
         d = q.shape[-1]
 
         # (bq, 1) global query positions (2D iota: Mosaic has no 1D)
-        q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+        q_pos = off + qi * bq + jax.lax.broadcasted_iota(jnp.int32,
+                                                         (bq, 1), 0)
 
         def body(t, carry):
             o, m, l = carry
@@ -71,7 +77,7 @@ def _kernel(bq: int, bk: int, scale: float, causal: bool, t_total: int):
         if causal:
             # dynamic trip count: skip K/V blocks entirely in the future
             # of this q block (the flash-attention causal early exit).
-            t_hi = (qi * bq + bq + bk - 1) // bk
+            t_hi = (off + qi * bq + bq + bk - 1) // bk
             t_hi = jnp.minimum(t_hi, nkv)
         else:
             t_hi = nkv
@@ -97,7 +103,7 @@ def flash_attention(q, k, v, *, causal: bool = True, bq: int = 512,
     scale = d ** -0.5
     grid = (b, h, s // bq)
     out = pl.pallas_call(
-        _kernel(bq, bk, scale, causal, t),
+        _kernel(bq, bk, scale, causal, t, s),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
@@ -148,7 +154,8 @@ def mha_flash(q, k, v, *, causal: bool = True,
 def _fwd_kernel_lse(bq: int, bk: int, scale: float, causal: bool,
                     t_total: int):
     """Forward kernel that also emits the logsumexp rows the backward
-    pass recomputes attention against."""
+    pass recomputes attention against. Self-attention only (S == T);
+    the VJP wrapper asserts it."""
     nkv = t_total // bk
 
     def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
@@ -454,6 +461,8 @@ def flash_attention_train(q, k, v, causal: bool = True, bq: int = 512,
 
 
 def _train_fwd(q, k, v, causal, bq, bk, interpret):
+    assert q.shape[2] == k.shape[2], \
+        "flash_attention_train is self-attention only (S == T)"
     bq = min(bq, q.shape[2])
     bk = min(bk, k.shape[2])
     out, lse = _flash_fwd_lse(q, k, v, causal, bq, bk, interpret)

@@ -99,14 +99,7 @@ def choose_blocks_q(m: int, n: int, k: int) -> tuple[int, int, int]:
     # (a naive min(round_up(k,512), CAP) pads e.g. k=4224 up to 8192 —
     # doubling the work; measured as a 2.5x slowdown before this fix).
     k512 = bounds.round_up(k, 512)
-    best = (None, None)
-    for cand in range(BK_CAP, 0, -512):
-        waste = bounds.round_up(k512, cand) - k512
-        if best[0] is None or waste < best[0]:
-            best = (waste, cand)
-        if waste == 0:
-            break
-    return bm, bn, min(best[1], k512)
+    return bm, bn, min(bounds._least_waste(k512, BK_CAP, 512), k512)
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))

@@ -482,9 +482,11 @@ def prepare_packed(a: jnp.ndarray, b: jnp.ndarray):
 
 
 def choose_blocks_fat(m: int, n: int, k: int) -> tuple[int, int, int]:
-    bm = min(bounds.round_up(m, 128), 1024)
-    bn = min(bounds.round_up(n, 128), 1024)
-    bk = min(bounds.round_up(k, 512), 2048)
+    # least-waste caps (CLAUDE.md rule): naive min(round_up, cap) pads
+    # e.g. 2560 -> 3072/4096, up to 2.3x wasted work at sweep sizes
+    bm = bounds._least_waste(bounds.round_up(m, 128), 1024, 128)
+    bn = bounds._least_waste(bounds.round_up(n, 128), 1024, 128)
+    bk = bounds._least_waste(bounds.round_up(k, 512), 2048, 512)
     return bm, bn, bk
 
 
@@ -550,7 +552,7 @@ def mmult_q_packed(qa, sa, qbt, sb, c, *, bm: int | None = None,
     return bounds.crop(out, m, n)
 
 
-def _make_strip_kernel(bm: int, bn: int, bk: int, nk: int, kp: int):
+def _make_strip_kernel(bm: int, bn: int, bk: int, nk: int):
     """Rung 11 kernel: rung 10 + A-STRIP RESIDENCY.
 
     One new optimization (ladder discipline): the whole (bm, K) A strip
@@ -677,7 +679,7 @@ def mmult_q_strip(qa, sa, qbt, sb, c, *, bm: int | None = None,
     np_ = qbt.shape[0]
     nk = kp // bk
     out = pl.pallas_call(
-        _make_strip_kernel(bm, bn, bk, nk, kp),
+        _make_strip_kernel(bm, bn, bk, nk),
         grid=(mp // bm, np_ // bn),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),

@@ -83,7 +83,7 @@ def _int4_prepare(a, b):
 def _int4_effective(ops):
     a16, packed, sw, kdim = ops
     wq = quant.unpack_int4(packed, block_k=512)[:kdim]
-    return a16.astype(jnp.float32), quant.dequantize(wq, sw[:, :])[:kdim]
+    return a16.astype(jnp.float32), quant.dequantize(wq, sw)
 
 
 def _int4_run(a16, packed, sw, kdim, c, **kw):
@@ -181,7 +181,7 @@ def _w4a8_prepare(a, b):
 def _w4a8_effective(ops):
     qa, sa, packed, sw, kdim = ops
     wq = quant.unpack_int4(packed, block_k=512)[:kdim]
-    return quant.dequantize(qa, sa), quant.dequantize(wq, sw)[:kdim]
+    return quant.dequantize(qa, sa), quant.dequantize(wq, sw)
 
 
 _register(Rung(
@@ -266,7 +266,9 @@ _register(Rung(
     name="07_pallas_int4", dtype="int4",
     run=_int4_run,
     prepare=_int4_prepare, effective=_int4_effective,
-    gate_rel=1e-3, bytes_per_input_elt=0.5,
+    # uniform-average bytes model over (A bf16 = 2) and (W int4 = 0.5):
+    # the roofline multiplies BOTH operand areas by this value
+    gate_rel=1e-3, bytes_per_input_elt=1.25,
     doc="int4 weight-only dequant+matmul, fused scale epilogue (cuda-int4)"))
 
 

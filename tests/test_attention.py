@@ -101,3 +101,28 @@ def test_flash_train_grads_match_eager():
                                    np.asarray(bb) / scale,
                                    rtol=0, atol=4e-2,
                                    err_msg=f"d{name} mismatch")
+
+
+def test_flash_causal_with_history_prefix():
+    """T > S: queries are the LAST S positions of a T-long context
+    (chunked prefill against cached history) — the causal mask must
+    offset query positions by T - S."""
+    b, h, kvh, s, t, d = 1, 2, 2, 32, 64, 64
+    key = jax.random.PRNGKey(9)
+    q = jax.random.normal(key, (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.split(key)[0], (b, kvh, t, d),
+                          jnp.bfloat16)
+    v = jax.random.normal(jax.random.split(key)[1], (b, kvh, t, d),
+                          jnp.bfloat16)
+    # eager reference in model layout with the offset causal mask
+    qm = jnp.swapaxes(q, 1, 2)
+    km = jnp.swapaxes(k, 1, 2)
+    vm = jnp.swapaxes(v, 1, 2)
+    mask = (jnp.arange(t)[None, :]
+            <= (t - s) + jnp.arange(s)[:, None])
+    ref = _attention(qm.astype(jnp.float32), km, vm, mask)
+    got_4d = flash_attention(q, k, v, causal=True, bq=16, bk=16,
+                             interpret=True)
+    got = jnp.swapaxes(got_4d, 1, 2).reshape(1, s, h * d)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref), rtol=0, atol=3e-2)
