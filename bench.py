@@ -21,7 +21,9 @@ REFERENCE_BEST_GFLOPS = 22418.0  # cuda_12 sweep peak (BASELINE.md)
 # Each rung swept at the sizes where IT peaks (from the committed full
 # sweeps in outputs/). The fp64 oracle gates each rung ONCE at p=1024
 # (minutes of host time per 4096-sized oracle row would blow the
-# driver's bench timeout); the peak-size rows are then timed gate-free.
+# driver's bench timeout); the peak-size rows are then gated by the
+# cheap ON-DEVICE oracle (fp32-HIGHEST jnp.dot cross-check, ~ms/row) so
+# a silent wrong-at-4096 kernel can never post a headline number.
 RUNGS = {
     "06_pallas_int8": (2048, 3584),
     "06v_xla_int8": (3584, 4096),
@@ -46,7 +48,7 @@ def main() -> None:
             cfg = SweepConfig(pfirst=p, plast=p, pinc=1, nrepeats=8,
                               warmup=1)
             rows = run_sweep(rung, cfg, verbose=False,
-                             quant_oracle=False, verify=False)
+                             quant_oracle=False, verify="device")
             for r in rows:
                 print(f"# {rung} p={r.p} {r.gflops:.1f} GFLOPS "
                       f"(kernel_rel={r.kernel_rel:.2e})", file=sys.stderr)

@@ -29,7 +29,9 @@ def main():
     ap.add_argument("--checkpoint-dir", default=None)
     args = ap.parse_args()
 
-    mesh = (make_mesh(dp=args.dp, tp=args.tp)
+    # the CLI topology is explicit user input: running on a prefix of a
+    # bigger host is intentional here, not a typo
+    mesh = (make_mesh(dp=args.dp, tp=args.tp, allow_subset=True)
             if args.dp * args.tp > 1 else None)
     cfg = llama.LlamaConfig(vocab=512, d_model=64 * max(args.tp, 1),
                             n_layers=2, n_heads=max(args.tp, 1) * 2,

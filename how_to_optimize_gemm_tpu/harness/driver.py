@@ -47,11 +47,14 @@ def run_sweep(rung_name: str, config: SweepConfig | None = None,
               output_dir=None, strict: bool = True,
               verbose: bool = True,
               quant_oracle: bool = True,
-              verify: bool = True) -> list[SweepRow]:
-    """verify=False skips the per-size oracle entirely — ONLY for
-    callers that gated the same rung at another size in the same run
-    (bench.py gates at p=1024, then times the peak sizes; the fp64
-    oracle at 4096 costs minutes of host time per row)."""
+              verify: bool | str = True) -> list[SweepRow]:
+    """verify: True = full fp64 host oracle (the default, every row);
+    "device" = on-device fp32-HIGHEST cross-check (jnp.dot of the
+    effective operands — a different code path from any rung, ~ms per
+    row even at p=4096; gates indexing/accumulation bugs but at fp32
+    summation noise ~1e-6 rather than fp64 exactness); False = skip —
+    ONLY for callers that gated the same rung at another size in the
+    same run (the fp64 oracle at 4096 costs minutes of host time)."""
     config = config or SweepConfig()
     rung = registry.get(rung_name)
     key = jax.random.PRNGKey(config.seed)
@@ -64,13 +67,24 @@ def run_sweep(rung_name: str, config: SweepConfig | None = None,
         if not verify:
             cmp_eff = oracle.CompareResult(0.0, 0.0, None)
             cmp_q = cmp_eff
+        elif verify == "device":
+            import jax.numpy as jnp
+            out_dev = rung.run(*prepared, c)
+            ae, be = rung.effective(prepared)
+            ref_dev = (jnp.dot(jnp.asarray(ae), jnp.asarray(be),
+                               precision=jax.lax.Precision.HIGHEST)
+                       + c)
+            denom = float(jnp.maximum(jnp.max(jnp.abs(ref_dev)), 1e-30))
+            max_abs = float(jnp.max(jnp.abs(out_dev - ref_dev)))
+            cmp_eff = oracle.CompareResult(max_abs, max_abs / denom, None)
+            cmp_q = cmp_eff
         else:
             out = np.asarray(rung.run(*prepared, c))
             ae, be = rung.effective(prepared)
             ref_eff = oracle.ref_mmult(np.asarray(ae), np.asarray(be),
                                        np.asarray(c))
             cmp_eff = oracle.compare_matrices(out, ref_eff, rung.gate_rel)
-        if verify and quant_oracle:
+        if verify is True and quant_oracle:
             # second fp64 matmul (vs ORIGINAL operands): reports
             # quantization error separately from kernel error. Skippable
             # (bench.py): it doubles the oracle cost and gates nothing.
@@ -132,8 +146,13 @@ def main(argv=None):
     ap.add_argument("--nrepeats", type=int, default=None)
     ap.add_argument("--no-strict", action="store_true")
     ap.add_argument("--roofline", action="store_true",
-                    help="print top-down roofline attribution per rung "
-                         "(the mperf-TMA analogue, harness/profiling.py)")
+                    help="print ANALYTIC top-down roofline attribution "
+                         "per rung (harness/profiling.py)")
+    ap.add_argument("--trace", action="store_true",
+                    help="capture a MEASURED per-op device profile of "
+                         "each rung at the largest sweep size "
+                         "(jax.profiler; the mperf-TMA analogue) and "
+                         "print the occupancy table")
     args = ap.parse_args(argv)
 
     config = QUICK_SWEEP if args.quick else (
@@ -157,6 +176,14 @@ def main(argv=None):
             from how_to_optimize_gemm_tpu.harness.profiling import (
                 roofline_report)
             print(roofline_report(rows, name))
+        if args.trace:
+            from how_to_optimize_gemm_tpu.harness import profiling
+            rung = registry.get(name)
+            p_max = max(r.p for r in rows)
+            ops, path = profiling.trace_rung(name, p_max)
+            print(profiling.trace_table(
+                ops, compute_dtype=rung.compute_dtype or rung.dtype,
+                total_note=f" [{name} p={p_max}, capture: {path}]"))
 
 
 if __name__ == "__main__":

@@ -289,6 +289,15 @@ def dma_chunk_bandwidth_gbps(rows: int, cols: int, parent: int = 4096,
     ``vulkan/benchmark/gmem_bandwidth.cpp``."""
     ni, nj = parent // rows, parent // cols
     nchunks = ni * nj
+    # The kernel walks chunks in double-buffered PAIRS (fori over
+    # nchunks//2): an odd count would leave the last started DMA
+    # unwaited (dangling starts accumulating on the semaphore) and a
+    # single-chunk walk would measure zero actual traffic.
+    if nchunks < 2 or nchunks % 2:
+        raise ValueError(
+            f"(rows={rows}, cols={cols}) gives {nchunks} chunks of the "
+            f"{parent}x{parent} parent; the double-buffered walk needs "
+            "an even count >= 2")
     x = jnp.ones((parent, parent), jnp.int8)
 
     @jax.jit

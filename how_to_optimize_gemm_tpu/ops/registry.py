@@ -43,6 +43,12 @@ class Rung:
     doc: str
     regression: bool = False         # honest negative result, kept on ladder
     bytes_per_input_elt: float = 4.0  # for roofline/bandwidth accounting
+    # Per-operand byte widths for mixed-precision rungs (A and B read
+    # different dtypes). When set, roofline computes
+    # in_bytes = m*k*bytes_a + k*n*bytes_b — exact for rectangular shapes
+    # (the decode GEMV shapes) where a uniform average misreports.
+    bytes_a: float | None = None
+    bytes_b: float | None = None
     # MXU path the kernel actually computes in (for roofline ceilings);
     # None = same family as `dtype` (int4 means "bf16 after dequant").
     compute_dtype: str | None = None
@@ -190,6 +196,7 @@ _register(Rung(
         pallas_int4.mmult_q_w4a8(qa, sa, packed, sw, c, **kw),
     prepare=_w4a8_prepare, effective=_w4a8_effective,
     gate_rel=1e-4, bytes_per_input_elt=0.75,
+    bytes_a=1.0, bytes_b=0.5,
     compute_dtype="int8",
     doc="W4A8: int8 activations x int4 weights on the int8 MXU path "
         "(2x the W4A16 rung's bf16 rate, half int8's weight traffic) — "
@@ -266,9 +273,8 @@ _register(Rung(
     name="07_pallas_int4", dtype="int4",
     run=_int4_run,
     prepare=_int4_prepare, effective=_int4_effective,
-    # uniform-average bytes model over (A bf16 = 2) and (W int4 = 0.5):
-    # the roofline multiplies BOTH operand areas by this value
     gate_rel=1e-3, bytes_per_input_elt=1.25,
+    bytes_a=2.0, bytes_b=0.5,
     doc="int4 weight-only dequant+matmul, fused scale epilogue (cuda-int4)"))
 
 

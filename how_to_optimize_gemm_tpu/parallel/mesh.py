@@ -39,18 +39,28 @@ def init_distributed(coordinator: str | None = None,
 
 
 def make_mesh(dp: int = 1, tp: int | None = None,
-              devices=None) -> Mesh:
+              devices=None, allow_subset: bool = False) -> Mesh:
     """Build a (dp, tp) mesh over the available devices.
 
     tp=None uses all remaining devices. The tp axis is innermost so that
     adjacent devices (ICI neighbors on a real slice) hold the
     tensor-parallel group.
+
+    By default dp*tp must cover ALL given devices — a mistyped smaller
+    topology silently running on a fraction of the slice is exactly the
+    bug an exact-match assert catches. Pass allow_subset=True to
+    intentionally use a prefix (e.g. scaling studies over sub-meshes).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if tp is None:
         assert n % dp == 0, (n, dp)
         tp = n // dp
-    assert dp * tp <= n, f"dp*tp={dp * tp} > {n} devices"
+    if allow_subset:
+        assert dp * tp <= n, f"dp*tp={dp * tp} > {n} devices"
+    else:
+        assert dp * tp == n, (
+            f"dp*tp={dp * tp} != {n} devices; pass allow_subset=True to "
+            "deliberately run on a device prefix")
     arr = np.asarray(devices[:dp * tp]).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))

@@ -45,7 +45,7 @@ def scaling_report(cfg: llama.LlamaConfig, mesh_shapes, batch_per_dp=8,
         devices = jax.devices()[:n]
         if len(devices) < n:
             raise ValueError(f"need {n} devices, have {len(devices)}")
-        mesh = make_mesh(dp=dp, tp=tp, devices=devices)
+        mesh = make_mesh(dp=dp, tp=tp, devices=devices, allow_subset=True)
         params = llama.init_params(jax.random.PRNGKey(0), cfg)
         tps = decode_tokens_per_sec(cfg, params, batch=batch_per_dp * dp,
                                     steps=steps, use_pallas=use_pallas,

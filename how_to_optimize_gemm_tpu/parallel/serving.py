@@ -143,16 +143,21 @@ class ServingEngine:
         untouched; pad positions write bogus K/V beyond each prompt,
         which is safe because decode overwrites a position before the
         causal mask ever exposes it."""
+        # Validate every candidate BEFORE touching slot state: raising
+        # mid-admission would leave slots claimed with no prefill run.
+        n_empty = sum(1 for s in range(self.batch)
+                      if self.slot_req[s] is None)
+        for req in queue[:n_empty]:
+            if len(req.prompt) >= self.cfg.max_seq:
+                raise ValueError(
+                    f"request {req.uid}: prompt length "
+                    f"{len(req.prompt)} >= max_seq {self.cfg.max_seq}"
+                    " (no room to generate); raise cfg.max_seq or"
+                    " truncate the prompt")
         admitted: list[tuple[int, Request]] = []
         for s in range(self.batch):
             if self.slot_req[s] is None and queue:
                 req = queue.pop(0)
-                if len(req.prompt) >= self.cfg.max_seq:
-                    raise ValueError(
-                        f"request {req.uid}: prompt length "
-                        f"{len(req.prompt)} >= max_seq {self.cfg.max_seq}"
-                        " (no room to generate); raise cfg.max_seq or"
-                        " truncate the prompt")
                 self.slot_req[s] = req
                 admitted.append((s, req))
         if not admitted:

@@ -89,3 +89,28 @@ def test_run_sweep_verify_flag():
     cfg = SweepConfig(pfirst=64, plast=64, pinc=1, nrepeats=2, warmup=0)
     rows = run_sweep("01_xla_fp32", cfg, verbose=False, verify=False)
     assert rows[0].kernel_rel == 0.0 and rows[0].gflops > 0
+
+
+def test_run_sweep_device_verify():
+    """verify='device' cross-checks on device (bench.py's timed-size
+    gate): a correct rung passes, a broken one trips the gate."""
+    from how_to_optimize_gemm_tpu.ops import registry
+
+    cfg = SweepConfig(pfirst=128, plast=128, pinc=1, nrepeats=1,
+                      warmup=0)
+    rows = run_sweep("01_xla_fp32", cfg, verbose=False, verify="device")
+    assert rows[0].kernel_rel < 1e-5
+
+    bad = registry.Rung(
+        name="zz_bad_dev", dtype="fp32",
+        run=lambda a, b, c, **kw: a @ b,            # forgets + C
+        prepare=lambda a, b: (a, b),
+        effective=lambda ops: (ops[0].astype("float32"),
+                               ops[1].astype("float32")),
+        gate_rel=1e-6, doc="deliberately wrong")
+    registry.LADDER["zz_bad_dev"] = bad
+    try:
+        with pytest.raises(oracle.DiffGateError):
+            run_sweep("zz_bad_dev", cfg, verbose=False, verify="device")
+    finally:
+        del registry.LADDER["zz_bad_dev"]
