@@ -41,7 +41,7 @@ def _decode_w4(w_ref):
     Static per-pack-block slices + one concatenate, so the decode stays
     two VPU ops per element regardless of bk."""
     w = w_ref[:].astype(jnp.int32)                 # (bk//2, bn)
-    lo = ((w & 0xF) ^ 8) - 8                       # sign-extend low nibble
+    lo = (w & 0xF) - 8                             # offset-binary low nibble
     hi = w >> 4                                    # arithmetic shift: high
     half = PACK_BLOCK // 2
     n_blocks = w_ref.shape[0] // half
@@ -86,6 +86,82 @@ def _kernel_noc(a_ref, w_ref, s_ref, o_ref, acc_ref):
         o_ref[:] = acc_ref[:] * s_ref[:]
 
 
+def _kernel_noc_gemv(a_ref, w_ref, s_ref, o_ref, acc_ref):
+    """Decode-free W4A16 GEMV: the nibble split moves onto the MXU.
+
+    The round-1 GEMV ran at 62% of its weight-streaming floor because
+    the VPU nibble decode (~10 data passes per block: mask, sign-fix,
+    shift, concatenate, cast) outweighed the DMA itself
+    (RESULTS.md round 1; VERDICT task 3). Pack algebra removes it: a
+    packed byte is P = 16*hi + u with u = P & 15 (u = lo + 8 in offset
+    binary), so with A split into the column halves the nibbles came
+    from,
+
+        A_hi @ hi + A_lo @ lo
+          = (D1 - D3)/16 + D2 - 8 * rowsum(A_lo),
+        D1 = A_hi @ P,  D2 = A_lo @ u,  D3 = A_hi @ u.
+
+    One VPU mask per block (u) replaces the whole decode; the MXU does
+    the splitting inside three half-K matmuls (1.5x MXU work — free at
+    GEMV widths, where the MXU idles 30x below its roofline). /16 and
+    *8 are exact in fp32; integer values <= 256 are exact in bf16, so
+    the result matches the decode path bit-for-bit up to fp32 add
+    order."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    half = PACK_BLOCK // 2
+    n_blocks = w_ref.shape[0] // half
+    for g in range(n_blocks):
+        a_lo = a_ref[:, g * PACK_BLOCK:g * PACK_BLOCK + half]
+        a_hi = a_ref[:, g * PACK_BLOCK + half:(g + 1) * PACK_BLOCK]
+        p_i32 = w_ref[g * half:(g + 1) * half, :].astype(jnp.int32)
+        p = p_i32.astype(jnp.bfloat16)
+        u = (p_i32 & 15).astype(jnp.bfloat16)
+        d1 = jnp.dot(a_hi, p, preferred_element_type=jnp.float32)
+        d2 = jnp.dot(a_lo, u, preferred_element_type=jnp.float32)
+        d3 = jnp.dot(a_hi, u, preferred_element_type=jnp.float32)
+        rs = jnp.sum(a_lo.astype(jnp.float32), axis=1, keepdims=True)
+        acc_ref[:] += (d1 - d3) * (1.0 / 16.0) + d2 - 8.0 * rs
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _flush():
+        o_ref[:] = acc_ref[:] * s_ref[:]
+
+
+def _kernel_w4a8_noc_gemv(a_ref, w_ref, sa_ref, sw_ref, o_ref, acc_ref):
+    """Decode-free W4A8 GEMV (see _kernel_noc_gemv): all-integer form.
+
+    D1 - D3 = 16 * (A_hi @ hi) exactly, so the /16 is an exact
+    arithmetic right-shift on int32 — no rounding anywhere."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    half = PACK_BLOCK // 2
+    n_blocks = w_ref.shape[0] // half
+    for g in range(n_blocks):
+        a_lo = a_ref[:, g * PACK_BLOCK:g * PACK_BLOCK + half]
+        a_hi = a_ref[:, g * PACK_BLOCK + half:(g + 1) * PACK_BLOCK]
+        p = w_ref[g * half:(g + 1) * half, :]
+        u = (p.astype(jnp.int32) & 15).astype(jnp.int8)
+        d1 = jnp.dot(a_hi, p, preferred_element_type=jnp.int32)
+        d2 = jnp.dot(a_lo, u, preferred_element_type=jnp.int32)
+        d3 = jnp.dot(a_hi, u, preferred_element_type=jnp.int32)
+        rs = jnp.sum(a_lo.astype(jnp.int32), axis=1, keepdims=True)
+        acc_ref[:] += ((d1 - d3) >> 4) + d2 - 8 * rs
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _flush():
+        o_ref[:] = (acc_ref[:].astype(jnp.float32)
+                    * sa_ref[:] * sw_ref[:])
+
+
 def choose_blocks_w4(m: int, n: int, kp: int) -> tuple[int, int, int]:
     """512x512 C tile + the largest 512-multiple K strip (<= 4096) that
     divides the packed K — same reload-minimizing derivation as
@@ -118,11 +194,16 @@ def choose_blocks_w4(m: int, n: int, kp: int) -> tuple[int, int, int]:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("bm", "bn", "bk", "interpret"))
+                   static_argnames=("bm", "bn", "bk", "interpret", "fast"))
 def mmult_q_noc(a, packed, sw, *, bm: int | None = None,
                 bn: int | None = None, bk: int | None = None,
+                fast: bool = True,
                 interpret: bool | None = None):
-    """y = A_bf16 @ dequant(W4), no C accumulate (serving fast path)."""
+    """y = A_bf16 @ dequant(W4), no C accumulate (serving fast path).
+
+    GEMV-class shapes (m <= 64) route to the decode-free pack-algebra
+    kernel (``_kernel_noc_gemv``); fast=False keeps the VPU-decode
+    kernel for A/B measurement."""
     m = a.shape[0]
     n = packed.shape[1]
     kp = packed.shape[0] * 2
@@ -134,8 +215,9 @@ def mmult_q_noc(a, packed, sw, *, bm: int | None = None,
     mp = a.shape[0]
     np_ = packed.shape[1]
     assert kp % bk == 0
+    use_gemv = fast and bm <= 64 and bk % PACK_BLOCK == 0
     out = pl.pallas_call(
-        _kernel_noc,
+        _kernel_noc_gemv if use_gemv else _kernel_noc,
         grid=(mp // bm, np_ // bn, kp // bk),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
@@ -277,11 +359,16 @@ def _kernel_w4a8_noc(a_ref, w_ref, sa_ref, sw_ref, o_ref, acc_ref):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("bm", "bn", "bk", "interpret"))
+                   static_argnames=("bm", "bn", "bk", "interpret", "fast"))
 def mmult_q_w4a8_noc(qa, sa, packed, sw, *, bm: int | None = None,
                      bn: int | None = None, bk: int | None = None,
+                     fast: bool = True,
                      interpret: bool | None = None):
-    """y = QA_int8 @ dequant(W4), no C (the W4A8 serving fast path)."""
+    """y = QA_int8 @ dequant(W4), no C (the W4A8 serving fast path).
+
+    GEMV-class shapes (m <= 64) route to the decode-free pack-algebra
+    kernel (``_kernel_w4a8_noc_gemv``); fast=False keeps the VPU-decode
+    kernel for A/B measurement."""
     m = qa.shape[0]
     n = packed.shape[1]
     kp = packed.shape[0] * 2
@@ -294,8 +381,9 @@ def mmult_q_w4a8_noc(qa, sa, packed, sw, *, bm: int | None = None,
     mp = qa.shape[0]
     np_ = packed.shape[1]
     assert kp % bk == 0
+    use_gemv = fast and bm <= 64 and bk % PACK_BLOCK == 0
     out = pl.pallas_call(
-        _kernel_w4a8_noc,
+        _kernel_w4a8_noc_gemv if use_gemv else _kernel_w4a8_noc,
         grid=(mp // bm, np_ // bn, kp // bk),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),

@@ -102,11 +102,18 @@ def choose_blocks_q(m: int, n: int, k: int) -> tuple[int, int, int]:
     return bm, bn, min(bounds._least_waste(k512, BK_CAP, 512), k512)
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret",
+                                             "vmem_limit_mb"))
 def mmult_q(qa, sa, qb, sb, c, *, bm: int | None = None,
             bn: int | None = None, bk: int | None = None,
+            vmem_limit_mb: int | None = None,
             interpret: bool | None = None):
-    """C = dequant(QA @ QB) + C on pre-quantized int8 operands."""
+    """C = dequant(QA @ QB) + C on pre-quantized int8 operands.
+
+    vmem_limit_mb raises Mosaic's scoped-VMEM ceiling for this call (the
+    default ~14.3 MB): near the limit the pipeliner stops holding the
+    revisited A block across j-steps, doubling operand traffic (the
+    p=4096 regression rung 14 closes)."""
     m, n = c.shape
     abm, abn, abk = choose_blocks_q(m, n, qa.shape[1])
     bm, bn, bk = bm or abm, bn or abn, bk or abk
@@ -138,6 +145,8 @@ def mmult_q(qa, sa, qb, sb, c, *, bm: int | None = None,
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            **({"vmem_limit_bytes": vmem_limit_mb * 1024 * 1024}
+               if vmem_limit_mb else {}),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * kp,
@@ -198,3 +207,85 @@ def mmult(a, b, c, *, interpret: bool | None = None):
     """Full path (quantize + GEMM) on fp32 inputs — harness convenience."""
     qa, sa, qb, sb = prepare(a, b)
     return mmult_q(qa, sa, qb, sb, c, interpret=interpret)
+
+
+def _kernel_bt(a_ref, bt_ref, sa_ref, sb_ref, c_ref, o_ref, acc_ref):
+    """Rung 14: rung 06's schedule fed by TRANSPOSED B blocks.
+
+    The measured-profile analysis (RESULTS.md round 2): the rung-06
+    pallas call is DMA-bound and the slow stream is B — its (K, bn)
+    blocks walk K rows of 512 int8 each, the geometry the DMA probe
+    clocks at ~520-670 GB/s vs ~820 for full-width rows. Streaming
+    B^T (bn, bk) blocks out of an offline-packed (N, K) array puts BOTH
+    operands on the fast geometry; the MXU contracts over the lane dim
+    of each (dot_general rhs-transposed form). The pack cost is paid
+    once offline, like PackMatrixB (``aarch64/MMult_4x4_11.cpp:39-63``)
+    — and unlike rungs 10/11, the auto-pipeliner keeps doing the DMA
+    scheduling, so none of the manual rungs' per-tile issue overhead
+    comes back."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        a_ref[:], bt_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _flush():
+        o_ref[:] = (acc_ref[:].astype(jnp.float32)
+                    * sa_ref[:] * sb_ref[:] + c_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret",
+                                             "vmem_limit_mb"))
+def mmult_q_bt(qa, sa, qbt, sb, c, *, bm: int | None = None,
+               bn: int | None = None, bk: int | None = None,
+               vmem_limit_mb: int | None = None,
+               interpret: bool | None = None):
+    """C = dequant(QA @ QBT^T) + C; QBT is B packed transposed (N, K)."""
+    m, n = c.shape
+    abm, abn, abk = choose_blocks_q(m, n, qa.shape[1])
+    bm, bn, bk = bm or abm, bn or abn, bk or abk
+    qa = bounds.pad_dim(bounds.pad_dim(qa, 0, bm), 1, bk)
+    qbt = bounds.pad_dim(bounds.pad_dim(qbt, 0, bn), 1, bk)
+    c = bounds.pad_dim(bounds.pad_dim(c, 0, bm), 1, bn)
+    sa = bounds.pad_dim(sa, 0, bm)
+    sb = bounds.pad_dim(sb, 1, bn)
+    mp, kp = qa.shape
+    np_ = qbt.shape[0]
+    out = pl.pallas_call(
+        _kernel_bt,
+        grid=(mp // bm, np_ // bn, kp // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bk), lambda i, j, kk: (j, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            **({"vmem_limit_bytes": vmem_limit_mb * 1024 * 1024}
+               if vmem_limit_mb else {}),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_ + 2 * mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=default_interpret(interpret),
+    )(qa, qbt, sa, sb, c)
+    return bounds.crop(out, m, n)

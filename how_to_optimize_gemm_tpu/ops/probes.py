@@ -353,6 +353,143 @@ def vmem_bandwidth_gbps(mbytes: int = 4, n_iters: int = 40000,
     return 4.0 * x.size * n_iters / best / 1e9
 
 
+def _dma_latency_kernel(n_iters: int, rows: int, cols: int,
+                        do_dma: bool, nsrc: int):
+    def kernel(x_hbm, o_ref, buf, sem):
+        def body(t, acc):
+            if do_dma:
+                r = jax.lax.rem(t, nsrc) * rows
+                cp = pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(r, rows), :], buf, sem)
+                cp.start()
+                cp.wait()
+            # Consume the landed tile so the chain is data-serial
+            # (int8 scalar extracts don't lower; reduce instead).
+            return acc + jnp.sum(buf[:, :].astype(jnp.int32))
+        o_ref[0, 0] = jax.lax.fori_loop(0, n_iters, body, jnp.int32(0))
+    return kernel
+
+
+def dma_latency_ns(rows: int = 32, cols: int = 128,
+                   n_iters: int = 400_000, repeats: int = 3,
+                   interpret: bool | None = None) -> float:
+    """HBM->VMEM DMA issue+completion latency, serially dependent.
+
+    The analogue of the reference's gmem->smem latency probe
+    (``vulkan/benchmark/smem_latency.cpp:32-37``, ~80 ns on Jetson Nano).
+    Each iteration starts ONE minimal (rows, cols) int8 chunk copy and
+    immediately waits on it, so iterations serialize on the full
+    issue->transfer->signal->wake path; at 4 KB the wire time is ~5 ns,
+    so the figure is dominated by latency, not bandwidth. The same loop
+    without the DMA (sum only) is subtracted as the loop-overhead
+    baseline. This is the per-step cost the manual-DMA rungs pay on
+    every chunk — the number behind their measured ~us/tile overhead
+    (``pallas_manual_dma.py``)."""
+    nsrc = 8
+    x = jnp.ones((rows * nsrc, cols), jnp.int8)
+
+    def run(do_dma: bool, iters: int):
+        @jax.jit
+        def go(x):
+            return pl.pallas_call(
+                _dma_latency_kernel(iters, rows, cols, do_dma, nsrc),
+                out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+                scratch_shapes=[pltpu.VMEM((rows, cols), jnp.int8),
+                                pltpu.SemaphoreType.DMA(())],
+                interpret=default_interpret(interpret),
+            )(x)
+        return measure(lambda: go(x), repeats=repeats, warmup=1)
+
+    t_dma = run(True, n_iters)
+    t_base = run(False, n_iters)
+    return max(t_dma - t_base, 0.0) / n_iters * 1e9
+
+
+def _manual_copy_kernel(rows: int, cols: int, nchunks: int, nslots: int,
+                        reps: int):
+    def kernel(src_hbm, dst_hbm, o_ref, buf, rsems, wsems):
+        def read(slot, t):
+            return pltpu.make_async_copy(
+                src_hbm.at[pl.ds(t * rows, rows), :],
+                buf.at[slot], rsems.at[slot])
+
+        def write(slot, t):
+            return pltpu.make_async_copy(
+                buf.at[slot], dst_hbm.at[pl.ds(t * rows, rows), :],
+                wsems.at[slot])
+
+        def outer(r, _):
+            for s in range(nslots):
+                read(s, s).start()
+
+            def body(t, _):
+                slot = jax.lax.rem(t, nslots)
+                read(slot, t).wait()
+                write(slot, t).start()
+
+                @pl.when(t + nslots < nchunks)
+                def _():
+                    # The slot's next read may only launch after its
+                    # write drained; with nslots in flight the other
+                    # slots keep both directions busy meanwhile.
+                    write(slot, t).wait()
+                    read(slot, t + nslots).start()
+                return 0
+
+            jax.lax.fori_loop(0, nchunks, body, 0)
+            # Drain the tail writes (chunk nchunks-nslots+s lives in
+            # slot s because nchunks % nslots == 0).
+            for s in range(nslots):
+                write(s, nchunks - nslots + s).wait()
+            return 0
+
+        jax.lax.fori_loop(0, reps, outer, 0)
+        o_ref[0, 0] = jnp.int32(nchunks)
+    return kernel
+
+
+def hbm_copy_manual_gbps(mbytes: int = 256, rows: int = 512,
+                         cols: int = 2048, nslots: int = 4,
+                         reps: int = 8, repeats: int = 3,
+                         interpret: bool | None = None) -> float:
+    """HBM r+w copy bandwidth via MANUAL multi-buffered DMA.
+
+    The follow-up named in hbm_bandwidth_gbps's docstring: the Mosaic
+    auto-pipeliner serializes a pure copy's in/out streams (~316 GB/s);
+    here ``nslots`` chunks are kept in flight with reads and writes
+    overlapping through per-slot semaphores, the pattern the reference
+    builds in cuda's smem double-buffering (``MMult_cuda_8.cu:23-60``)
+    applied to a bare copy."""
+    total_rows = mbytes * 1024 * 1024 // (4 * cols)
+    total_rows = max((total_rows // (rows * nslots)) * rows * nslots,
+                     rows * nslots)
+    nchunks = total_rows // rows
+    assert nchunks % nslots == 0, (nchunks, nslots)
+    x = jnp.ones((total_rows, cols), jnp.float32)
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            _manual_copy_kernel(rows, cols, nchunks, nslots, reps),
+            out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
+                       jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+            scratch_shapes=[pltpu.VMEM((nslots, rows, cols), jnp.float32),
+                            pltpu.SemaphoreType.DMA((nslots,)),
+                            pltpu.SemaphoreType.DMA((nslots,))],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=default_interpret(interpret),
+        )(x)
+
+    # flush via the small scalar output (cheap readback; same dispatch)
+    best = measure(lambda: run(x)[1], repeats=repeats, warmup=1)
+    return 2.0 * x.size * 4 * reps / best / 1e9
+
+
 # Published single-chip ceilings for TPU v5e (plot fallback when probes
 # can't run, e.g. in docs builds): bf16 197 TFLOPS, int8 394 TOPS,
 # HBM ~819 GB/s.
@@ -376,14 +513,17 @@ def main():
          lambda: vpu_peak_gflops(dependent=False)),
         ("HBM r+w bandwidth (pallas)", hbm_bandwidth_gbps),
         ("HBM r+w bandwidth (XLA)", xla_stream_bandwidth_gbps),
+        ("HBM r+w bandwidth (manual DMA)", hbm_copy_manual_gbps),
         ("DMA chunk bandwidth 1024x2048",
          lambda: dma_chunk_bandwidth_gbps(1024, 2048)),
         ("DMA chunk bandwidth 2048x1024",
          lambda: dma_chunk_bandwidth_gbps(2048, 1024)),
         ("VMEM r+w bandwidth (VPU copy)", vmem_bandwidth_gbps),
+        ("DMA issue+complete latency", dma_latency_ns),
     ]:
-        unit = "GB/s" if "bandwidth" in name else "GFLOPS"
-        print(f"{name:30s} {fn():12.1f} {unit}")
+        unit = ("ns" if "latency" in name
+                else "GB/s" if "bandwidth" in name else "GFLOPS")
+        print(f"{name:32s} {fn():12.1f} {unit}")
 
 
 if __name__ == "__main__":

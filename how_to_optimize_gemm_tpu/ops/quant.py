@@ -52,7 +52,15 @@ def pack_int4(q: jnp.ndarray, block_k: int) -> jnp.ndarray:
     k, n = q.shape
     assert k % block_k == 0 and block_k % 2 == 0, (k, block_k)
     qb = q.reshape(k // block_k, block_k, n)
-    lo = qb[:, : block_k // 2].astype(jnp.uint8) & 0xF
+    # Low nibble in OFFSET BINARY (u = lo + 8, range [1, 15]); high
+    # nibble two's-complement. The packed byte value is then exactly
+    # P = 16*hi + u, which lets kernels split the nibbles via MXU
+    # algebra instead of VPU decode (pallas_int4._kernel_noc_gemv):
+    #   A_hi @ hi + A_lo @ lo
+    #     = (A_hi @ P - A_hi @ u) / 16 + A_lo @ u - 8 * rowsum(A_lo)
+    # with u = P & 15 the ONLY decode op. (Two's-complement low nibbles
+    # would make lo(u) non-affine: lo = u - 16*(u >= 8).)
+    lo = (qb[:, : block_k // 2] + 8).astype(jnp.uint8)
     hi = qb[:, block_k // 2:].astype(jnp.uint8) & 0xF
     packed = lo | (hi << 4)
     return jax.lax.bitcast_convert_type(packed, jnp.int8).reshape(k // 2, n)
@@ -63,11 +71,6 @@ def unpack_int4(packed: jnp.ndarray, block_k: int) -> jnp.ndarray:
     k2, n = packed.shape
     k = k2 * 2
     pb = packed.reshape(k // block_k, block_k // 2, n)
-    lo = _sign_extend_nibble(pb & 0xF)
+    lo = (pb & 0xF) - 8   # offset-binary low nibble
     hi = pb >> 4  # arithmetic shift on int8 sign-extends the high nibble
     return jnp.concatenate([lo, hi], axis=1).reshape(k, n)
-
-
-def _sign_extend_nibble(v: jnp.ndarray) -> jnp.ndarray:
-    """Sign-extend the low 4 bits of an int8: ((v & 0xF) ^ 8) - 8."""
-    return ((v & 0xF) ^ 8) - 8

@@ -39,3 +39,35 @@ def test_per_axis_scales_shapes():
     _, s_col = quant.quantize_symmetric(x, axis=0)
     assert s_row.shape == (48, 1)
     assert s_col.shape == (1, 96)
+
+
+def test_packed_byte_value_identity():
+    """The pack format contract the pack-algebra kernels rely on: the
+    int8 byte VALUE is exactly 16*hi + (lo + 8)."""
+    q = jax.random.randint(jax.random.PRNGKey(4), (512, 128), -7, 8,
+                           dtype=jnp.int8)
+    packed = np.asarray(quant.pack_int4(q, 512), np.int32)
+    lo = np.asarray(q[:256], np.int32)
+    hi = np.asarray(q[256:], np.int32)
+    np.testing.assert_array_equal(packed, 16 * hi + (lo + 8))
+
+
+def test_gemv_pack_algebra_matches_decode_path():
+    """Decode-free GEMV kernels == VPU-decode kernels (W4A8 bit-exact;
+    W4A16 to fp32 add-order noise)."""
+    from how_to_optimize_gemm_tpu.ops import pallas_int4
+
+    a = jax.random.normal(jax.random.PRNGKey(3), (8, 1024), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(9), (1024, 640), jnp.float32)
+    a16, packed, sw, _ = pallas_int4.prepare(a, b)
+    y_fast = pallas_int4.mmult_q_noc(a16, packed, sw, fast=True)
+    y_slow = pallas_int4.mmult_q_noc(a16, packed, sw, fast=False)
+    rel = float(jnp.max(jnp.abs(y_fast - y_slow))
+                / jnp.max(jnp.abs(y_slow)))
+    assert rel < 1e-6, rel
+
+    qa, sa, packed8, sw8, _ = pallas_int4.prepare_w4a8(a, b)
+    y_fast = pallas_int4.mmult_q_w4a8_noc(qa, sa, packed8, sw8, fast=True)
+    y_slow = pallas_int4.mmult_q_w4a8_noc(qa, sa, packed8, sw8,
+                                          fast=False)
+    assert jnp.array_equal(y_fast, y_slow)
