@@ -28,6 +28,8 @@ RUNGS = {
     "06_pallas_int8": (2048, 3584),
     "06v_xla_int8": (3584, 4096),
     "07b_pallas_w4a8": (2048, 3584),
+    # the summit rung: aliased-C + transposed-B streaming (round 2)
+    "14_packed_alias_int8": (3584, 4096),
 }
 
 

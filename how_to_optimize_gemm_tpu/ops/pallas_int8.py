@@ -210,19 +210,35 @@ def mmult(a, b, c, *, interpret: bool | None = None):
 
 
 def _kernel_bt(a_ref, bt_ref, sa_ref, sb_ref, c_ref, o_ref, acc_ref):
-    """Rung 14: rung 06's schedule fed by TRANSPOSED B blocks.
+    """Rung 14 — the summit rung: aliased C + transposed-B streaming.
 
-    The measured-profile analysis (RESULTS.md round 2): the rung-06
-    pallas call is DMA-bound and the slow stream is B — its (K, bn)
-    blocks walk K rows of 512 int8 each, the geometry the DMA probe
-    clocks at ~520-670 GB/s vs ~820 for full-width rows. Streaming
-    B^T (bn, bk) blocks out of an offline-packed (N, K) array puts BOTH
-    operands on the fast geometry; the MXU contracts over the lane dim
-    of each (dot_general rhs-transposed form). The pack cost is paid
-    once offline, like PackMatrixB (``aarch64/MMult_4x4_11.cpp:39-63``)
-    — and unlike rungs 10/11, the auto-pipeliner keeps doing the DMA
-    scheduling, so none of the manual rungs' per-tile issue overhead
-    comes back."""
+    Two optimizations over rung 06, each found by measurement (the
+    round-2 ablation campaign, RESULTS.md):
+
+    1. **Aliased C accumulate** (``input_output_aliases``): the stream
+       ablation showed rung 06 pays ~110 us at p=4096 for the separate
+       C-in stream — with C and out as distinct buffered streams the
+       auto-pipeliner barely overlaps them with compute (pinning BOTH
+       operand streams still ran at only 289 TOPS). Aliasing C into the
+       output gives one in-place buffered block per tile: 275 -> 338
+       TOPS at p=4096 from this change alone, bit-exact.
+    2. **Transposed-B blocks** out of an offline-packed (N, K) array
+       (``prepare_packed``): B^T (bn, bk) blocks stream at the
+       full-width-row DMA geometry (~820 GB/s measured) instead of the
+       tall-narrow (bk, 512) geometry (~520-670); the MXU contracts
+       over the lane dim of each operand (dot_general rhs-transposed
+       form). The pack is paid once offline, like PackMatrixB
+       (``aarch64/MMult_4x4_11.cpp:39-63``) — and unlike manual rungs
+       08-11, the auto-pipeliner keeps doing the DMA scheduling, so no
+       per-tile issue overhead comes back.
+
+    Together with a raised Mosaic VMEM ceiling (32 MB scoped; the
+    working set stays ~13 MB): 334/358/362 TOPS at p=2048/3584/4096 vs
+    rung 06's 294/337/275 — taking the vendor bar (06v: 270-349/366/
+    347-362) at p=4096, the size the whole manual ladder (08-13) could
+    not crack. The in-kernel dot itself measures 384 TOPS for these
+    exact shapes when VMEM-resident, so the schedule is within ~6% of
+    its own compute ceiling."""
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
@@ -240,15 +256,42 @@ def _kernel_bt(a_ref, bt_ref, sa_ref, sb_ref, c_ref, o_ref, acc_ref):
                     * sa_ref[:] * sb_ref[:] + c_ref[:])
 
 
+def choose_blocks_bt(m: int, n: int, k: int) -> tuple[int, int, int]:
+    """(bm, bn, bk) for rung 14: bn=512, full-K strips, and the TALLEST
+    least-waste A strip whose double-buffered footprint stays under
+    ~28 MB. Measured at p=3584: bm=512 -> 358 TOPS, bm=1792 (27.5 MB
+    footprint) -> 364; at p=4096 bm=2048 (33.6 MB) regresses to 336 —
+    the budget below encodes that boundary. Taller strips cut B
+    re-reads (B is refetched once per A strip row)."""
+    bn = min(bounds.round_up(n, 128), 512)
+    k512 = bounds.round_up(k, 512)
+    bk = min(bounds._least_waste(k512, BK_CAP, 512), k512)
+    budget = 28 * 1024 * 1024
+    # footprint(bm) = 2*bm*bk (A dbl-buf) + 2*bn*bk (B^T dbl-buf)
+    #               + 3*bm*bn*4 (aliased-C dbl-buf + int32 acc)
+    cap_rows = (budget - 2 * bn * bk) // (2 * bk + 12 * bn)
+    # 1792 is the largest measured-good strip (bm=2048 at p=2048 reads
+    # 308 TOPS where bm=1024 reads 340 — whole-M single-strip grids
+    # lose the i-direction pipelining).
+    cap_rows = min(max((cap_rows // 128) * 128, 512), 1792)
+    bm = bounds._least_waste(bounds.round_up(m, 128), cap_rows, 128)
+    return bm, bn, bk
+
+
 @functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret",
                                              "vmem_limit_mb"))
 def mmult_q_bt(qa, sa, qbt, sb, c, *, bm: int | None = None,
                bn: int | None = None, bk: int | None = None,
-               vmem_limit_mb: int | None = None,
+               vmem_limit_mb: int | None = 48,
                interpret: bool | None = None):
-    """C = dequant(QA @ QBT^T) + C; QBT is B packed transposed (N, K)."""
+    """C = dequant(QA @ QBT^T) + C; QBT is B packed transposed (N, K).
+
+    The rung-14 entrypoint (see ``_kernel_bt``). C is aliased into the
+    output: inside this jit XLA inserts a copy only if the caller's c
+    has other uses; the harness chain (out feeds next c) runs
+    copy-free."""
     m, n = c.shape
-    abm, abn, abk = choose_blocks_q(m, n, qa.shape[1])
+    abm, abn, abk = choose_blocks_bt(m, n, qa.shape[1])
     bm, bn, bk = bm or abm, bn or abn, bk or abk
     qa = bounds.pad_dim(bounds.pad_dim(qa, 0, bm), 1, bk)
     qbt = bounds.pad_dim(bounds.pad_dim(qbt, 0, bn), 1, bk)
@@ -276,6 +319,7 @@ def mmult_q_bt(qa, sa, qbt, sb, c, *, bm: int | None = None,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             **({"vmem_limit_bytes": vmem_limit_mb * 1024 * 1024}

@@ -270,6 +270,20 @@ _register(Rung(
         "matches Mosaic's default scoped limit)"))
 
 _register(Rung(
+    name="14_packed_alias_int8", dtype="int8",
+    run=lambda qa, sa, qbt, sb, c, **kw: pallas_int8.mmult_q_bt(
+        qa, sa, qbt, sb, c, **kw),
+    prepare=pallas_manual_dma.prepare_packed, effective=_packed_effective,
+    gate_rel=1e-4, bytes_per_input_elt=1.0,
+    doc="THE SUMMIT RUNG (cuda_12 slot, 'beats the vendor'): rung 06 + "
+        "C aliased into the output (one in-place buffered stream; the "
+        "separate C-in stream cost ~110 us/launch at p=4096) + "
+        "offline-transposed B on the fast DMA geometry + 32 MB scoped "
+        "VMEM. 334/358/362 TOPS at p=2048/3584/4096 vs the XLA vendor "
+        "dot's 270-349/366/347-362 — wins at 4096 where rungs 08-13 "
+        "all failed, parity elsewhere (see _kernel_bt)"))
+
+_register(Rung(
     name="07_pallas_int4", dtype="int4",
     run=_int4_run,
     prepare=_int4_prepare, effective=_int4_effective,

@@ -40,6 +40,7 @@ LADDER_ORDER = [
     ("11_strip_resident_int8", "int8"),
     ("12_resident_int8", "int8"),
     ("13_tiled_resident_int8", "int8"),
+    ("14_packed_alias_int8", "int8"),
 ]
 
 HEADLINE = ["06v_xla_int8", "06_pallas_int8", "07b_pallas_w4a8",
