@@ -179,11 +179,20 @@ def _attention(q, k, v, mask):
 
 
 def _route_flash(use_pallas, s: int, dh: int) -> bool:
-    """Prefill attention routing: the flash kernel wants a full causal
-    self-attention with block-divisible S and a lane-friendly head dim."""
+    """Prefill attention routing: the flash kernel wants a long-enough
+    causal self-attention and a lane-friendly head dim. S need not be
+    block-divisible (round 2): the kernel pads + masks the tail."""
     from how_to_optimize_gemm_tpu.utils.env import on_tpu
     enabled = use_pallas if use_pallas is not None else on_tpu()
-    return bool(enabled) and s >= 512 and s % 512 == 0 and dh in (64, 128)
+    return bool(enabled) and s >= 512 and dh in (64, 128)
+
+
+def _route_decode(use_pallas, t: int, dh: int, kvh: int) -> bool:
+    """Decode-attention routing: dh=128 always; dh=64 via the
+    head-pairing cache view (needs even kvh — see
+    pallas_decode_attention._kernel)."""
+    return (_route_flash(use_pallas, t, dh)
+            and (dh == 128 or (dh == 64 and kvh % 2 == 0)))
 
 
 def _update_cache(cache, new, pos, write_mask=None):
@@ -260,7 +269,7 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
             else:
                 causal = jnp.tril(jnp.ones((s, s), bool))
                 attn = _attention(q, k, v, causal)
-        elif s == 1 and dh == 128 and _route_flash(use_pallas, t, dh):
+        elif s == 1 and _route_decode(use_pallas, t, dh, qk.shape[2]):
             from how_to_optimize_gemm_tpu.ops.pallas_decode_attention \
                 import decode_attention_q8
             lengths = (pos if jnp.ndim(pos) else jnp.full(
@@ -317,10 +326,11 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
             else:
                 causal = jnp.tril(jnp.ones((s, s), bool))
                 attn = _attention(q, k, v, causal)
-        elif s == 1 and dh == 128 and _route_flash(use_pallas, t, dh):
-            # dh == 128 exactly: the kernel's manual cache DMA needs the
-            # lane dim to be one full 128 tile (dh=64 slices fail Mosaic
-            # alignment; such models fall back to eager).
+        elif s == 1 and _route_decode(use_pallas, t, dh,
+                                      k_cache.shape[2]):
+            # dh == 128: the kernel's manual cache DMA needs a full-128
+            # lane dim; dh == 64 rides the head-pairing cache view
+            # (round 2 — two kv heads per 128-lane row, even kvh only).
             # Length-aware decode kernel: reads ceil(len/bk) cache chunks
             # per slot instead of the whole max_seq cache (eager pays
             # max_seq traffic regardless of how full a slot is).

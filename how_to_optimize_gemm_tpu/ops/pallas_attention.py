@@ -26,40 +26,72 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from how_to_optimize_gemm_tpu.ops import bounds
 from how_to_optimize_gemm_tpu.utils.env import default_interpret
 
 NEG_INF = -1e30
 
 
-def _kernel(bq: int, bk: int, scale: float, causal: bool, t_total: int,
-            s_total: int):
-    nkv = t_total // bk
-    # queries are the LAST s_total positions of the t_total context, so
-    # causal masking with a K/V prefix (T > S: chunked prefill against
-    # history) offsets every query position by T - S
-    off = t_total - s_total
+def _stream_kernel(bq: int, bk: int, ts_len: int, scale: float,
+                   causal: bool, t_real: int, s_real: int, nts: int):
+    """Forward kernel: K/V streamed in SUPER-BLOCK strips of ``ts_len``
+    tokens through a 4th grid dim, with the in-kernel fori walking bk
+    sub-blocks inside each strip.
 
-    def kernel(q_ref, k_ref, v_ref, o_ref):
+    Round 1 held full-T K/V strips in VMEM (index map constant in qi) —
+    minimal traffic, but T was VMEM-bounded (~8k at d=128). A first
+    round-2 attempt streamed bk-sized blocks directly through the grid
+    and sank in grid-step overhead (4096 steps of 0.35 us compute at
+    ~1.5 us/step = 10x slower). The super-block form keeps round 1's
+    compute density (one grid step per ~4k tokens, dynamic fori with
+    the causal early exit inside) while the online-softmax state
+    (acc, m, l) persists in VMEM scratch across the sequential ts steps
+    — nothing scales with T, so S=T=65536 prefill runs on one chip.
+
+    Tail masking: t_real/s_real are the REAL lengths before padding;
+    key positions >= t_real get NEG_INF so zero-padded K rows never
+    leak into the softmax (zero-padded V rows then contribute p*0)."""
+    off = t_real - s_real   # queries are the LAST s_real positions
+    nsub = ts_len // bk
+
+    def kernel(q_ref, k_ref, v_ref, o_ref, *scratch):
+        # nts == 1 (the common serving/prefill case, T <= the strip
+        # cap): NO scratch — the (o, m, l) carry must be rooted in
+        # constants, because initializing the fori carry from VMEM
+        # scratch reads makes Mosaic keep the whole accumulation in
+        # VMEM instead of vregs (measured 1.65x slower at every S; the
+        # round-2 bisection v1-v4). Multi-strip (long context) pays the
+        # scratch carry to persist state across ts grid steps.
         qi = pl.program_id(2)
+        tsi = pl.program_id(3)
+        if nts > 1:
+            acc, m_sc, l_sc = scratch
+
+            @pl.when(tsi == 0)
+            def _init():
+                acc[:] = jnp.zeros_like(acc)
+                m_sc[:] = jnp.full_like(m_sc, NEG_INF)
+                l_sc[:] = jnp.zeros_like(l_sc)
+
         q = q_ref[0, 0].astype(jnp.float32) * scale          # (bq, D)
         d = q.shape[-1]
+        q_pos = off + qi * bq + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, 1), 0)
+        base = tsi * ts_len
 
-        # (bq, 1) global query positions (2D iota: Mosaic has no 1D)
-        q_pos = off + qi * bq + jax.lax.broadcasted_iota(jnp.int32,
-                                                         (bq, 1), 0)
-
-        def body(t, carry):
+        def body(tt, carry):
             o, m, l = carry
-            k_blk = k_ref[0, 0, pl.ds(t * bk, bk)]           # (bk, D)
-            v_blk = v_ref[0, 0, pl.ds(t * bk, bk)]
+            k_blk = k_ref[0, 0, pl.ds(tt * bk, bk)]          # (bk, D)
+            v_blk = v_ref[0, 0, pl.ds(tt * bk, bk)]
             s = jax.lax.dot_general(
                 q, k_blk.astype(jnp.float32),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)          # (bq, bk)
-            if causal:
-                k_pos = t * bk + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, bk), 1)
-                s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+            k_pos = base + tt * bk + jax.lax.broadcasted_iota(
+                jnp.int32, (1, bk), 1)
+            mask = (k_pos <= q_pos) if causal else (k_pos >= 0)
+            mask = jnp.logical_and(mask, k_pos < t_real)
+            s = jnp.where(mask, s, NEG_INF)
             m_blk = jnp.max(s, axis=-1, keepdims=True)       # (bq, 1)
             m_new = jnp.maximum(m, m_blk)
             alpha = jnp.exp(m - m_new)
@@ -71,18 +103,33 @@ def _kernel(bq: int, bk: int, scale: float, causal: bool, t_total: int,
                 preferred_element_type=jnp.float32)
             return o_new, m_new, l_new
 
-        o0 = jnp.zeros((bq, d), jnp.float32)
-        m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((bq, 1), jnp.float32)
+        # dynamic sub-block range inside this strip: the causal early
+        # exit (skip sub-blocks past this q block's last position) and
+        # the real-T bound, both relative to the strip base.
         if causal:
-            # dynamic trip count: skip K/V blocks entirely in the future
-            # of this q block (the flash-attention causal early exit).
-            t_hi = (off + qi * bq + bq + bk - 1) // bk
-            t_hi = jnp.minimum(t_hi, nkv)
+            hi_global = jnp.minimum(off + qi * bq + bq - 1, t_real - 1)
         else:
-            t_hi = nkv
-        o, m, l = jax.lax.fori_loop(0, t_hi, body, (o0, m0, l0))
-        o_ref[0, 0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+            hi_global = t_real - 1
+        hi = jnp.clip((hi_global - base) // bk + 1, 0, nsub)
+        if nts > 1:
+            carry = (acc[:], m_sc[:, :1], l_sc[:, :1])
+        else:
+            carry = (jnp.zeros((bq, d), jnp.float32),
+                     jnp.full((bq, 1), NEG_INF, jnp.float32),
+                     jnp.zeros((bq, 1), jnp.float32))
+        o, m, l = jax.lax.fori_loop(0, hi, body, carry)
+        if nts > 1:
+            acc[:] = o
+            m_sc[:] = jnp.broadcast_to(m, m_sc.shape)
+            l_sc[:] = jnp.broadcast_to(l, l_sc.shape)
+
+            @pl.when(tsi == nts - 1)
+            def _flush():
+                ll = jnp.maximum(l_sc[:, :1], 1e-30)
+                o_ref[0, 0] = (acc[:] / ll).astype(o_ref.dtype)
+        else:
+            ll = jnp.maximum(l, 1e-30)
+            o_ref[0, 0] = (o / ll).astype(o_ref.dtype)
 
     return kernel
 
@@ -93,37 +140,67 @@ def flash_attention(q, k, v, *, causal: bool = True, bq: int = 512,
                     bk: int = 512, interpret: bool | None = None):
     """Streaming causal attention. q: (B, H, S, D); k, v: (B, KVH, T, D);
     returns (B, H, S, D) in q's dtype. fp32 online-softmax state; scores
-    never touch HBM."""
+    never touch HBM. Any S and T (operands are zero-padded to block
+    multiples and the tail is masked — the ladder's bounds.py discipline
+    applied to attention); K/V streams block-by-block, so T is not
+    VMEM-bounded (S=T=65536 runs on one chip)."""
     b, h, s, d = q.shape
     _, kvh, t, _ = k.shape
     rep = h // kvh
-    bq = min(bq, s)
-    bk = min(bk, t)
-    assert s % bq == 0 and t % bk == 0, (s, bq, t, bk)
+    bq = min(bq, bounds.round_up(s, 128))
+    bk = min(bk, bounds.round_up(t, 128))
+    # K/V super-block strip: big enough to amortize grid steps (the
+    # lesson of rung 03b applied to attention) and to keep the common
+    # serving/prefill range on the scratchless single-strip path; two
+    # buffered strips stay in fast VMEM (8192*128*2B*2kv*2buf = 8 MB).
+    ts_len = min(8192, bounds.round_up(t, bk))
+    q = bounds.pad_dim(q, 2, bq)
+    k = bounds.pad_dim(k, 2, ts_len)
+    v = bounds.pad_dim(v, 2, ts_len)
+    sp, tp = q.shape[2], k.shape[2]
     scale = d ** -0.5
-    grid = (b, h, s // bq)
+    nts = tp // ts_len
+    grid = (b, h, sp // bq, nts)
+    # Dead-strip clamp: a strip wholly past this q block's causal window
+    # re-points at the LAST live strip, which Mosaic's revisit cache
+    # then skips re-fetching (the early-exit analogue at strip level).
+    if causal:
+        off = t - s
+
+        def kv_index(bi, hi, qi, tsi, rep=rep):
+            # clamp to nts-1 too: PADDED query rows of the last q block
+            # can push last_live past the final strip (e.g. s=4000,
+            # t=4096 pads queries to 4096 with off=96)
+            last_live = jnp.minimum((off + qi * bq + bq - 1) // ts_len,
+                                    nts - 1)
+            return (bi, hi // rep, jnp.minimum(tsi, last_live), 0)
+    else:
+        def kv_index(bi, hi, qi, tsi, rep=rep):
+            return (bi, hi // rep, tsi, 0)
     out = pl.pallas_call(
-        _kernel(bq, bk, scale, causal, t, s),
+        _stream_kernel(bq, bk, ts_len, scale, causal, t, s, nts),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+            pl.BlockSpec((1, 1, bq, d),
+                         lambda bi, hi, qi, tsi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            # full-T K/V strips for this (batch, kv-head); the index map
-            # is constant in qi so Mosaic fetches each strip once per
-            # (b, h) and revisits it across q blocks.
-            pl.BlockSpec((1, 1, t, d),
-                         lambda bi, hi, qi, rep=rep: (bi, hi // rep, 0, 0),
+            pl.BlockSpec((1, 1, ts_len, d), kv_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t, d),
-                         lambda bi, hi, qi, rep=rep: (bi, hi // rep, 0, 0),
+            pl.BlockSpec((1, 1, ts_len, d), kv_index,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, bq, d),
-                               lambda bi, hi, qi: (bi, hi, qi, 0),
+                               lambda bi, hi, qi, tsi: (bi, hi, qi, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, sp, d), q.dtype),
+        scratch_shapes=([
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 8), jnp.float32),
+            pltpu.VMEM((bq, 8), jnp.float32),
+        ] if nts > 1 else []),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary",
+                                 "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=(4 * b * h * s * t * d) // (2 if causal else 1),
@@ -133,7 +210,7 @@ def flash_attention(q, k, v, *, causal: bool = True, bq: int = 512,
         ),
         interpret=default_interpret(interpret),
     )(q, k, v)
-    return out
+    return out[:, :, :s]
 
 
 def mha_flash(q, k, v, *, causal: bool = True,

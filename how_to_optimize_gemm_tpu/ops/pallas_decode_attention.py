@@ -48,7 +48,11 @@ def _divisor_block(t: int, cap: int) -> int:
 
 
 def _kernel(bk: int, kvh: int, rep: int, d: int, t_total: int,
-            scale: float):
+            scale: float, pack2: bool = False):
+    """pack2: dh=64 mode — the caches are VIEWED as (B, T, KVH//2, 128)
+    (a free contiguous reshape pairing adjacent heads per 128-lane row),
+    because Mosaic DMA slices need a full-128 lane dim; each head's
+    (bk, 64) block is a static lane slice of the landed chunk."""
     nk_max = t_total // bk
 
     def kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref, bufk, bufv, sems):
@@ -90,9 +94,17 @@ def _kernel(bk: int, kvh: int, rep: int, d: int, t_total: int,
             # Per-head static loop: Mosaic rejects batched matmuls whose
             # rhs batch dim isn't leading, so slice each head out of the
             # time-major chunk (kvh is small and static).
-            k_heads = [bufk[slot, :, g].astype(jnp.float32)
-                       for g in range(kvh)]          # each (bk, d)
-            v_heads = [bufv[slot, :, g] for g in range(kvh)]
+            if pack2:
+                k_heads = [bufk[slot, :, g // 2,
+                                (g % 2) * d:(g % 2 + 1) * d]
+                           .astype(jnp.float32) for g in range(kvh)]
+                v_heads = [bufv[slot, :, g // 2,
+                                (g % 2) * d:(g % 2 + 1) * d]
+                           for g in range(kvh)]
+            else:
+                k_heads = [bufk[slot, :, g].astype(jnp.float32)
+                           for g in range(kvh)]      # each (bk, d)
+                v_heads = [bufv[slot, :, g] for g in range(kvh)]
             s = jnp.stack([
                 jax.lax.dot_general(q[g], k_heads[g],
                                     (((1,), (1,)), ((), ())),
@@ -141,6 +153,14 @@ def decode_attention(q, k_cache, v_cache, lengths, *, bk: int = 512,
     b, h, d = q.shape
     _, t, kvh, _ = k_cache.shape
     rep = h // kvh
+    # dh=64 head-pairing (see _kernel): view the cache with two adjacent
+    # kv heads per 128-lane row — a free reshape of the contiguous
+    # time-major layout. dh=64 with odd kvh stays on the caller's eager
+    # fallback (models/llama routing).
+    pack2 = d == 64 and kvh % 2 == 0
+    if pack2:
+        k_cache = k_cache.reshape(b, t, kvh // 2, 128)
+        v_cache = v_cache.reshape(b, t, kvh // 2, 128)
     # VMEM clamp: 2 ping-pong slots x (k, v) chunks of (bk, kvh, d) must
     # stay well inside the fast-VMEM window (MHA models like Llama-2-7B
     # have kvh=32 — a naive bk=512 would allocate 16 MB of chunk buffers)
@@ -160,13 +180,13 @@ def decode_attention(q, k_cache, v_cache, lengths, *, bk: int = 512,
         out_specs=pl.BlockSpec((1, kvh, rep, d),
                                lambda bi, lens: (bi, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, bk, kvh, d), k_cache.dtype),
-            pltpu.VMEM((2, bk, kvh, d), v_cache.dtype),
+            pltpu.VMEM((2, bk) + k_cache.shape[2:], k_cache.dtype),
+            pltpu.VMEM((2, bk) + v_cache.shape[2:], v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
-        _kernel(bk, kvh, rep, d, t, d ** -0.5),
+        _kernel(bk, kvh, rep, d, t, d ** -0.5, pack2),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kvh, rep, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -180,7 +200,7 @@ def decode_attention(q, k_cache, v_cache, lengths, *, bk: int = 512,
 # ------------------------------------------------------- KV8 cache variant
 
 def _kernel_q8(bk: int, kvh: int, rep: int, d: int, t_total: int,
-               scale: float):
+               scale: float, pack2: bool = False):
     nk_max = t_total // bk
 
     def kernel(len_ref, q_ref, qk_hbm, sk_hbm, qv_hbm, sv_hbm, o_ref,
@@ -219,9 +239,17 @@ def _kernel_q8(bk: int, kvh: int, rep: int, d: int, t_total: int,
                 dma.wait()
             # scales folded as (1, bk) row vectors per head — the int8
             # values are cast, never re-multiplied elementwise over D
-            k_heads = [bufk[slot, :, g].astype(jnp.float32)
-                       for g in range(kvh)]
-            v_heads = [bufv[slot, :, g] for g in range(kvh)]
+            if pack2:
+                k_heads = [bufk[slot, :, g // 2,
+                                (g % 2) * d:(g % 2 + 1) * d]
+                           .astype(jnp.float32) for g in range(kvh)]
+                v_heads = [bufv[slot, :, g // 2,
+                                (g % 2) * d:(g % 2 + 1) * d]
+                           for g in range(kvh)]
+            else:
+                k_heads = [bufk[slot, :, g].astype(jnp.float32)
+                           for g in range(kvh)]
+                v_heads = [bufv[slot, :, g] for g in range(kvh)]
             sk_rows = [bufsk[slot, :, g][None, :] for g in range(kvh)]
             sv_rows = [bufsv[slot, :, g][None, :] for g in range(kvh)]
             s = jnp.stack([
@@ -275,6 +303,12 @@ def decode_attention_q8(q, qk, sk, qv, sv, lengths, *, bk: int = 512,
     rep = h // kvh
     assert sk.shape[-1] == 128 and sv.shape[-1] == 128, \
         "scales must be lane-padded to 128 (pad at WRITE time, not here)"
+    # dh=64 head-pairing (see _kernel): per-head scales are (B, T, 128)
+    # rows and unaffected by the value-cache reshape.
+    pack2 = d == 64 and kvh % 2 == 0
+    if pack2:
+        qk = qk.reshape(b, t, kvh // 2, 128)
+        qv = qv.reshape(b, t, kvh // 2, 128)
     elt = 1  # int8 chunks dominate
     budget = 6 * 1024 * 1024
     bk_cap = max(budget // (4 * kvh * d * elt) // 128 * 128, 128)
@@ -293,15 +327,15 @@ def decode_attention_q8(q, qk, sk, qv, sv, lengths, *, bk: int = 512,
         out_specs=pl.BlockSpec((1, kvh, rep, d),
                                lambda bi, lens: (bi, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, bk, kvh, d), jnp.int8),
+            pltpu.VMEM((2, bk) + qk.shape[2:], jnp.int8),
             pltpu.VMEM((2, bk, 128), jnp.float32),
-            pltpu.VMEM((2, bk, kvh, d), jnp.int8),
+            pltpu.VMEM((2, bk) + qv.shape[2:], jnp.int8),
             pltpu.VMEM((2, bk, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
     out = pl.pallas_call(
-        _kernel_q8(bk, kvh, rep, d, t, d ** -0.5),
+        _kernel_q8(bk, kvh, rep, d, t, d ** -0.5, pack2),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kvh, rep, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(

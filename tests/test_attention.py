@@ -126,3 +126,49 @@ def test_flash_causal_with_history_prefix():
     got = jnp.swapaxes(got_4d, 1, 2).reshape(1, s, h * d)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref), rtol=0, atol=3e-2)
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 100, 300, 2, 1, 64),    # S, T not block multiples
+    (1, 200, 200, 2, 2, 128),
+    (2, 65, 130, 4, 2, 64),
+])
+def test_flash_odd_shapes(shape):
+    """Round 2: S/T need not be block multiples — the kernel pads and
+    masks the tail (bounds.py discipline applied to attention). For
+    S < T the kernel's contract places queries at the LAST S positions
+    (chunked prefill against history), so the reference mask offsets
+    query positions by T - S."""
+    b, s, t, h, kvh, d = shape
+    key = jax.random.PRNGKey(hash(shape) % (2 ** 31))
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, s, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, t, kvh, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, t, kvh, d), jnp.bfloat16)
+    q_pos = (t - s) + jnp.arange(s)[:, None]
+    mask = jnp.arange(t)[None, :] <= q_pos
+    ref = _attention(q.astype(jnp.float32), k, v, mask)
+    got = mha_flash(q, k, v, causal=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=3e-2)
+
+
+def test_flash_multi_strip_long_context():
+    """T above the K/V strip cap exercises the multi-strip scratch-carry
+    path (nts > 1) that makes T unbounded. Uses small blocks so the
+    interpreter stays fast; grid layout matches the 65k on-chip case."""
+    b, h, kvh, s, t, d = 1, 1, 1, 128, 9216, 64
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(kq, (b, h, s, d), jnp.float32)
+    k = jax.random.normal(kk, (b, kvh, t, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, kvh, t, d), jnp.bfloat16)
+    got = flash_attention(q, k, v, causal=True, interpret=True)
+
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    sc = jnp.einsum("bhsd,bhtd->bhst", q, kf) * d ** -0.5
+    qpos = (t - s) + jnp.arange(s)[:, None]
+    sc = jnp.where(jnp.arange(t)[None, :] <= qpos, sc, -1e30)
+    ref = jnp.einsum("bhst,bhtd->bhsd", jax.nn.softmax(sc, -1), vf)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=3e-2)

@@ -71,3 +71,27 @@ def test_kv8_kernel_matches_eager_kv8():
                               interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=3e-2)
+
+
+def test_dh64_pairing_matches_dh128_structure():
+    """dh=64 with even kvh routes through the head-pairing cache view;
+    the result must match the eager masked reference exactly like the
+    dh=128 path (round 2 — removes the dh=64 eager fallback)."""
+    from how_to_optimize_gemm_tpu.models.llama import _route_decode
+
+    assert _route_decode(True, 2048, 128, 32)
+    assert _route_decode(True, 2048, 64, 4)
+    assert not _route_decode(True, 2048, 64, 3)   # odd kvh -> eager
+
+    b, t, h, kvh, d = 2, 128, 8, 4, 64
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = jax.random.normal(kq, (b, h, d), jnp.float32)
+    k_cache = jax.random.normal(kk, (b, t, kvh, d), jnp.bfloat16)
+    v_cache = jax.random.normal(kv, (b, t, kvh, d), jnp.bfloat16)
+    lengths = jnp.asarray([37, 128], jnp.int32)
+    valid = jnp.arange(t)[None, None, :] < lengths[:, None, None]
+    ref = _attention(q[:, None], k_cache, v_cache, valid)[:, 0]
+    got = decode_attention(q, k_cache, v_cache, lengths, bk=32,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=3e-2)
