@@ -11,15 +11,17 @@ the caches in HBM (``ANY``), and manually DMA-ping-pongs only
 ``ceil(len/bk)`` chunks per slot: HBM traffic scales with the tokens that
 exist, not with max_seq.
 
-Grid design (v3): ONE program per batch slot; each chunk DMA slices
-(bk, KVH, D) along the cache's UNTILED leading T dim of the time-major
-(B, T, KVH, D) layout, and the per-head attention runs as one g-batched
-dot_general. Two failed designs are part of the record: v1's (B, KVH)
-grid with per-head DMAs lost to eager outright (~14 us of launch+DMA
-overhead x 32 tiny programs per layer), and v2's head-major cache layout
-made XLA's scatter (which physically prefers time-major — verified in
-HLO) disagree with the custom call's layout constraint, inserting a
-full-cache copy per layer per step.
+Grid design (v4, round 2): ONE program serves every batch slot with
+fused-head (bk, KVH*D) chunks — see ``_kernel_v4``. The design record
+(each ancestor measured and replaced): v1's (B, KVH) grid with per-head
+DMAs lost to eager outright (~14 us of launch+DMA overhead x 32 tiny
+programs per layer); v2's head-major cache layout made XLA's scatter
+(which physically prefers time-major — verified in HLO) disagree with
+the custom call's layout constraint, inserting a full-cache copy per
+layer per step; v3 (one program per slot, per-head dot loop, dynamic
+fori chunk walk) served round 1 but crawled at 25-83 GB/s of cache
+read — ~20 us fixed cost per program plus ~20 us per chunk of tiny-op
+issue overhead. v4 reads the same cache at 113-279 GB/s (3.4-4.5x).
 
 Numerically identical contract to the eager masked path: online softmax
 in fp32, entries at positions >= len masked to -inf.
@@ -47,12 +49,282 @@ def _divisor_block(t: int, cap: int) -> int:
     return t
 
 
+def _kernel_v4(bk: int, kvh: int, rep: int, d: int, t_total: int,
+               b_total: int, scale: float):
+    """v4 (round 2): ONE program serves ALL batch slots with FUSED-HEAD
+    chunks.
+
+    The v3 design (one program per slot, per-head dot loop) measured
+    ~20 us of fixed cost per program PLUS ~20 us per chunk — launch,
+    DMA prologue stalls, and ~30 tiny VPU/MXU ops per chunk on
+    (kvh, rep, bk) slivers; a full-cache read at d2048/T=2048 crawled
+    at 25-83 GB/s and LOST to eager XLA (1195 vs 2393 tok/s on the
+    dh=64 config). Three structural fixes, each killing one overhead:
+
+    1. Cache chunks are consumed as 2D (bk, kvh*d) views — one DMA per
+       chunk per cache, no per-head slicing (full-lane rule satisfied
+       for ANY d with kvh*d % 128 == 0, so dh=64 needs no special
+       pairing path).
+    2. All heads' scores come from ONE dot: Q is assembled
+       block-structured — row g*rep+r holds slot query (g, r) zero-
+       extended into lane band [g*d, (g+1)*d) — so contraction over
+       the full kvh*d lanes yields exactly head g's score per row
+       (zeros annihilate other heads). The PV product likewise is one
+       (h, bk) @ (bk, kvh*d) dot; each row-group's own band is sliced
+       from the small (h, kvh*d) result afterwards.
+    3. The slot loop is INSIDE the kernel (grid=(1,)): one launch, one
+       prologue, and the chunk DMA pipeline crosses slot boundaries —
+       the next slot's first chunk prefetches while the current slot
+       computes. Chunk walks are fully static-unrolled (fori back-
+       edges cost ~9 us) with per-chunk predication on the prefetched
+       lengths; dead chunks issue no DMAs and skip their compute via
+       lax.cond (an unconditional where()-ed body still paid ~5 us of
+       op issue per dead chunk).
+    """
+    nk_max = t_total // bk
+    w = kvh * d
+    h = kvh * rep
+
+    def kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref, bufk, bufv, sems):
+        # flattened static chunk schedule: (slot b, chunk t)
+        sched = [(b, t) for b in range(b_total) for t in range(nk_max)]
+
+        def nk_of(b):
+            return jnp.minimum((len_ref[b] + bk - 1) // bk, nk_max)
+
+        def pred(i):
+            b, t = sched[i]
+            return t < nk_of(b)
+
+        def dma_k(slot, i):
+            b, t = sched[i]
+            start = jnp.minimum(t, nk_max - 1) * bk
+            return pltpu.make_async_copy(
+                k_hbm.at[b, pl.ds(start, bk)], bufk.at[slot],
+                sems.at[slot, 0])
+
+        def dma_v(slot, i):
+            b, t = sched[i]
+            start = jnp.minimum(t, nk_max - 1) * bk
+            return pltpu.make_async_copy(
+                v_hbm.at[b, pl.ds(start, bk)], bufv.at[slot],
+                sems.at[slot, 1])
+
+        def start_pair(i):
+            @pl.when(pred(i))
+            def _():
+                dma_k(i % 2, i).start()
+                dma_v(i % 2, i).start()
+
+        start_pair(0)
+        if len(sched) > 1:
+            start_pair(1)
+
+        nsched = len(sched)
+        for b in range(b_total):
+            # block-structured zero-extended Q for this slot:
+            # (h, w) with head g's (rep, d) in rows g*rep.., lanes g*d..
+            q = q_ref[b].astype(jnp.float32) * scale   # (kvh, rep, d)
+            q_ext = jnp.concatenate(
+                [jnp.pad(q[g], ((0, 0), (g * d, w - (g + 1) * d)))
+                 for g in range(kvh)], axis=0)          # (h, w)
+            length = len_ref[b]
+            nk = nk_of(b)
+            # o accumulates the FULL (h, w) PV product: slicing each
+            # row-group's band in-kernel trips Mosaic ("offset mismatch
+            # on non-concat dimension"); the wrapper takes the diagonal
+            # bands afterwards in XLA-land (a 256 KB op)
+            o = jnp.zeros((h, w), jnp.float32)
+            m = jnp.full((h, 1), NEG_INF, jnp.float32)
+            l = jnp.zeros((h, 1), jnp.float32)
+            for t in range(nk_max):
+                i = b * nk_max + t
+                slot = i % 2
+
+                @pl.when(pred(i))
+                def _wait():
+                    dma_k(slot, i).wait()
+                    dma_v(slot, i).wait()
+
+                def live_body(carry):
+                    # the whole update under lax.cond: a dead chunk's
+                    # where()-ed-out compute still costs ~5 us of op
+                    # issue, and at decode lengths << max_seq MOST
+                    # static chunks are dead (measured: the
+                    # unconditional version lost ~30% of tokens/s)
+                    o, m, l = carry
+                    k_blk = bufk[slot].astype(jnp.float32)  # (bk, w)
+                    s = jax.lax.dot_general(
+                        q_ext, k_blk, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (h, bk)
+                    k_pos = t * bk + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, bk), 1)
+                    s = jnp.where(k_pos < length, s, NEG_INF)
+                    m_blk = jnp.max(s, axis=-1, keepdims=True)
+                    m_new = jnp.maximum(m, m_blk)
+                    alpha = jnp.exp(m - m_new)
+                    p = jnp.exp(s - m_new)
+                    l_new = l * alpha + jnp.sum(p, axis=-1,
+                                                keepdims=True)
+                    pv = jax.lax.dot_general(
+                        p.astype(bufv.dtype), bufv[slot],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (h, w)
+                    return o * alpha + pv, m_new, l_new
+
+                o, m, l = jax.lax.cond(t < nk, live_body,
+                                       lambda c: c, (o, m, l))
+                if i + 2 < nsched:
+                    start_pair(i + 2)
+            o_ref[b] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _kernel_v4(bk: int, kvh: int, rep: int, d: int, t_total: int,
+               b_total: int, scale: float):
+    """v4 (round 2): ONE program serves ALL batch slots with FUSED-HEAD
+    chunks.
+
+    The v3 design (one program per slot, per-head dot loop) measured
+    ~20 us of fixed cost per program PLUS ~20 us per chunk — launch,
+    DMA prologue stalls, and ~30 tiny VPU/MXU ops per chunk on
+    (kvh, rep, bk) slivers; a full-cache read at d2048/T=2048 crawled
+    at 25-83 GB/s and LOST to eager XLA (1195 vs 2393 tok/s on the
+    dh=64 config). Three structural fixes, each killing one overhead:
+
+    1. Cache chunks are consumed as 2D (bk, kvh*d) views — one DMA per
+       chunk per cache, no per-head slicing (full-lane rule satisfied
+       for ANY d with kvh*d % 128 == 0, so dh=64 needs no special
+       pairing path).
+    2. All heads' scores come from ONE dot: Q is assembled
+       block-structured — row g*rep+r holds slot query (g, r) zero-
+       extended into lane band [g*d, (g+1)*d) — so contraction over
+       the full kvh*d lanes yields exactly head g's score per row
+       (zeros annihilate other heads). The PV product likewise is one
+       (h, bk) @ (bk, kvh*d) dot; each row-group's own band is sliced
+       from the small (h, kvh*d) result afterwards.
+    3. The slot loop is INSIDE the kernel (grid=(1,)): one launch, one
+       prologue, and the chunk DMA pipeline crosses slot boundaries —
+       the next slot's first chunk prefetches while the current slot
+       computes. Chunk walks are fully static-unrolled (fori back-
+       edges cost ~9 us) with per-chunk predication on the prefetched
+       lengths; dead chunks issue no DMAs and skip their compute via
+       lax.cond (an unconditional where()-ed body still paid ~5 us of
+       op issue per dead chunk).
+    """
+    nk_max = t_total // bk
+    w = kvh * d
+    h = kvh * rep
+
+    def kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref, bufk, bufv, sems):
+        # flattened static chunk schedule: (slot b, chunk t)
+        sched = [(b, t) for b in range(b_total) for t in range(nk_max)]
+
+        def nk_of(b):
+            return jnp.minimum((len_ref[b] + bk - 1) // bk, nk_max)
+
+        def pred(i):
+            b, t = sched[i]
+            return t < nk_of(b)
+
+        def dma_k(slot, i):
+            b, t = sched[i]
+            start = jnp.minimum(t, nk_max - 1) * bk
+            return pltpu.make_async_copy(
+                k_hbm.at[b, pl.ds(start, bk)], bufk.at[slot],
+                sems.at[slot, 0])
+
+        def dma_v(slot, i):
+            b, t = sched[i]
+            start = jnp.minimum(t, nk_max - 1) * bk
+            return pltpu.make_async_copy(
+                v_hbm.at[b, pl.ds(start, bk)], bufv.at[slot],
+                sems.at[slot, 1])
+
+        def start_pair(i):
+            @pl.when(pred(i))
+            def _():
+                dma_k(i % 2, i).start()
+                dma_v(i % 2, i).start()
+
+        start_pair(0)
+        if len(sched) > 1:
+            start_pair(1)
+
+        nsched = len(sched)
+        for b in range(b_total):
+            # block-structured zero-extended Q for this slot:
+            # (h, w) with head g's (rep, d) in rows g*rep.., lanes g*d..
+            q = q_ref[b].astype(jnp.float32) * scale   # (kvh, rep, d)
+            q_ext = jnp.concatenate(
+                [jnp.pad(q[g], ((0, 0), (g * d, w - (g + 1) * d)))
+                 for g in range(kvh)], axis=0)          # (h, w)
+            length = len_ref[b]
+            nk = nk_of(b)
+            # o accumulates the FULL (h, w) PV product: slicing each
+            # row-group's band in-kernel trips Mosaic ("offset mismatch
+            # on non-concat dimension"); the wrapper takes the diagonal
+            # bands afterwards in XLA-land (a 256 KB op)
+            o = jnp.zeros((h, w), jnp.float32)
+            m = jnp.full((h, 1), NEG_INF, jnp.float32)
+            l = jnp.zeros((h, 1), jnp.float32)
+            for t in range(nk_max):
+                i = b * nk_max + t
+                slot = i % 2
+
+                @pl.when(pred(i))
+                def _wait():
+                    dma_k(slot, i).wait()
+                    dma_v(slot, i).wait()
+
+                def live_body(carry):
+                    # the whole update under lax.cond: a dead chunk's
+                    # where()-ed-out compute still costs ~5 us of op
+                    # issue, and at decode lengths << max_seq MOST
+                    # static chunks are dead (measured: the
+                    # unconditional version lost ~30% of tokens/s)
+                    o, m, l = carry
+                    k_blk = bufk[slot].astype(jnp.float32)  # (bk, w)
+                    s = jax.lax.dot_general(
+                        q_ext, k_blk, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (h, bk)
+                    k_pos = t * bk + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, bk), 1)
+                    s = jnp.where(k_pos < length, s, NEG_INF)
+                    m_blk = jnp.max(s, axis=-1, keepdims=True)
+                    m_new = jnp.maximum(m, m_blk)
+                    alpha = jnp.exp(m - m_new)
+                    p = jnp.exp(s - m_new)
+                    l_new = l * alpha + jnp.sum(p, axis=-1,
+                                                keepdims=True)
+                    pv = jax.lax.dot_general(
+                        p.astype(bufv.dtype), bufv[slot],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (h, w)
+                    return o * alpha + pv, m_new, l_new
+
+                o, m, l = jax.lax.cond(t < nk, live_body,
+                                       lambda c: c, (o, m, l))
+                if i + 2 < nsched:
+                    start_pair(i + 2)
+            o_ref[b] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+    return kernel
+
+
 def _kernel(bk: int, kvh: int, rep: int, d: int, t_total: int,
             scale: float, pack2: bool = False):
     """pack2: dh=64 mode — the caches are VIEWED as (B, T, KVH//2, 128)
     (a free contiguous reshape pairing adjacent heads per 128-lane row),
-    because Mosaic DMA slices need a full-128 lane dim; each head's
-    (bk, 64) block is a static lane slice of the landed chunk."""
+    because Mosaic DMA slices need a full-128 lane dim. The landed
+    chunks are consumed WHOLE: lane-slicing (bk, 64) halves out of them
+    forces Mosaic relayout copies per head per chunk (measured: the
+    sliced version decoded at 1195 tok/s where eager did 2393 on the
+    d2048 config). Instead each head's query is ZERO-EXTENDED to the
+    full 128 lanes — the zeros annihilate the paired head's dims in the
+    score contraction — and only the tiny (rep, 64) output is sliced
+    from the pair-wide PV product."""
     nk_max = t_total // bk
 
     def kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref, bufk, bufv, sems):
@@ -85,28 +357,40 @@ def _kernel(bk: int, kvh: int, rep: int, d: int, t_total: int,
 
         q = q_ref[0].astype(jnp.float32) * scale     # (kvh, rep, d)
 
-        def body(t, carry):
+        def body(t, slot, carry):
+            # STATIC t and slot (Python ints): the chunk walk is fully
+            # unrolled — a lax.fori version costs ~9 us of scheduling
+            # bubble per back-edge (measured 12.75 us/chunk where the
+            # chunk DMA itself is 0.64 us; the round-1 rung-09 lesson
+            # recurring), and traced slot indices on MXU operands force
+            # staging copies. Dead chunks (t >= nk) are predicated off
+            # at the DMA level and where()-ed out of the carry.
             o, m, l = carry
-            slot = jax.lax.rem(t, 2)
 
-            dma_k(slot, t).wait()
-            dma_v(slot, t).wait()
+            # waits predicated exactly like the starts: a dead chunk's
+            # DMA never launched, so an unguarded wait would deadlock
+            @pl.when(t < nk)
+            def _wait():
+                dma_k(slot, t).wait()
+                dma_v(slot, t).wait()
             # Per-head static loop: Mosaic rejects batched matmuls whose
             # rhs batch dim isn't leading, so slice each head out of the
             # time-major chunk (kvh is small and static).
             if pack2:
-                k_heads = [bufk[slot, :, g // 2,
-                                (g % 2) * d:(g % 2 + 1) * d]
-                           .astype(jnp.float32) for g in range(kvh)]
-                v_heads = [bufv[slot, :, g // 2,
-                                (g % 2) * d:(g % 2 + 1) * d]
-                           for g in range(kvh)]
+                # full 128-lane pair rows; zero-extended q per head
+                k_heads = [bufk[slot, :, g // 2].astype(jnp.float32)
+                           for g in range(kvh)]      # each (bk, 128)
+                v_heads = [bufv[slot, :, g // 2] for g in range(kvh)]
+                q_use = [jnp.pad(q[g], ((0, 0), ((g % 2) * d,
+                                                 (1 - g % 2) * d)))
+                         for g in range(kvh)]        # each (rep, 128)
             else:
                 k_heads = [bufk[slot, :, g].astype(jnp.float32)
                            for g in range(kvh)]      # each (bk, d)
                 v_heads = [bufv[slot, :, g] for g in range(kvh)]
+                q_use = [q[g] for g in range(kvh)]
             s = jnp.stack([
-                jax.lax.dot_general(q[g], k_heads[g],
+                jax.lax.dot_general(q_use[g], k_heads[g],
                                     (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
                 for g in range(kvh)], axis=0)        # (kvh, rep, bk)
@@ -118,24 +402,44 @@ def _kernel(bk: int, kvh: int, rep: int, d: int, t_total: int,
             alpha = jnp.exp(m - m_new)
             p = jnp.exp(s - m_new)
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            o_new = o * alpha + jnp.stack([
-                jax.lax.dot_general(p[g].astype(v_heads[g].dtype),
-                                    v_heads[g],
-                                    (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-                for g in range(kvh)], axis=0)        # (kvh, rep, d)
+            if pack2:
+                # PV over the full pair row, then slice this head's
+                # 64-lane half of the small (rep, 128) product
+                pv = [jax.lax.dot_general(
+                          p[g].astype(v_heads[g].dtype), v_heads[g],
+                          (((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+                      for g in range(kvh)]
+                o_new = o * alpha + jnp.stack(
+                    [pv[g][:, (g % 2) * d:(g % 2 + 1) * d]
+                     for g in range(kvh)], axis=0)   # (kvh, rep, d)
+            else:
+                o_new = o * alpha + jnp.stack([
+                    jax.lax.dot_general(p[g].astype(v_heads[g].dtype),
+                                        v_heads[g],
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                    for g in range(kvh)], axis=0)    # (kvh, rep, d)
 
             # Refill this slot only AFTER its chunk was consumed.
-            @pl.when(t + 2 < nk)
-            def _():
-                dma_k(slot, t + 2).start()
-                dma_v(slot, t + 2).start()
-            return o_new, m_new, l_new
+            if t + 2 < nk_max:
+                @pl.when(t + 2 < nk)
+                def _():
+                    dma_k(slot, t + 2).start()
+                    dma_v(slot, t + 2).start()
+            # dead-chunk select: garbage computed off a stale buffer
+            # never enters the carry
+            live = t < nk
+            return (jnp.where(live, o_new, o),
+                    jnp.where(live, m_new, m),
+                    jnp.where(live, l_new, l))
 
-        o0 = jnp.zeros((kvh, rep, d), jnp.float32)
-        m0 = jnp.full((kvh, rep, 1), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((kvh, rep, 1), jnp.float32)
-        o, m, l = jax.lax.fori_loop(0, nk, body, (o0, m0, l0))
+        carry = (jnp.zeros((kvh, rep, d), jnp.float32),
+                 jnp.full((kvh, rep, 1), NEG_INF, jnp.float32),
+                 jnp.zeros((kvh, rep, 1), jnp.float32))
+        for t in range(nk_max):
+            carry = body(t, t % 2, carry)
+        o, m, l = carry
         # The slot writes its token before attending, so length >= 1 and
         # l > 0 always; the max() only guards padded batch rows.
         o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
@@ -153,63 +457,81 @@ def decode_attention(q, k_cache, v_cache, lengths, *, bk: int = 512,
     b, h, d = q.shape
     _, t, kvh, _ = k_cache.shape
     rep = h // kvh
-    # dh=64 head-pairing (see _kernel): view the cache with two adjacent
-    # kv heads per 128-lane row — a free reshape of the contiguous
-    # time-major layout. dh=64 with odd kvh stays on the caller's eager
-    # fallback (models/llama routing).
-    pack2 = d == 64 and kvh % 2 == 0
-    if pack2:
-        k_cache = k_cache.reshape(b, t, kvh // 2, 128)
-        v_cache = v_cache.reshape(b, t, kvh // 2, 128)
-    # VMEM clamp: 2 ping-pong slots x (k, v) chunks of (bk, kvh, d) must
+    w = kvh * d
+    assert w % 128 == 0, \
+        f"decode_attention needs kvh*dh % 128 == 0, got {kvh}x{d}" \
+        " (llama routing falls back to eager otherwise)"
+    # fused-head 2D cache view (free contiguous reshape; see _kernel_v4)
+    k2 = k_cache.reshape(b, t, w)
+    v2 = v_cache.reshape(b, t, w)
+    # VMEM clamp: 2 ping-pong slots x (k, v) chunks of (bk, w) must
     # stay well inside the fast-VMEM window (MHA models like Llama-2-7B
     # have kvh=32 — a naive bk=512 would allocate 16 MB of chunk buffers)
     elt = jnp.dtype(k_cache.dtype).itemsize
     budget = 6 * 1024 * 1024
-    bk_cap = max(budget // (4 * kvh * d * elt) // 128 * 128, 128)
+    bk_cap = max(budget // (4 * w * elt) // 128 * 128, 128)
     bk = _divisor_block(t, min(bk, bk_cap, t))
     qg = q.reshape(b, kvh, rep, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec((1, kvh, rep, d), lambda bi, lens: (bi, 0, 0, 0)),
+            pl.BlockSpec((b, kvh, rep, d), lambda i, lens: (0, 0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, kvh, rep, d),
-                               lambda bi, lens: (bi, 0, 0, 0)),
+        out_specs=pl.BlockSpec((b, kvh * rep, w),
+                               lambda i, lens: (0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, bk) + k_cache.shape[2:], k_cache.dtype),
-            pltpu.VMEM((2, bk) + v_cache.shape[2:], v_cache.dtype),
+            pltpu.VMEM((2, bk, w), k_cache.dtype),
+            pltpu.VMEM((2, bk, w), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
-        _kernel(bk, kvh, rep, d, t, d ** -0.5, pack2),
+        _kernel_v4(bk, kvh, rep, d, t, b, d ** -0.5),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, kvh, rep, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, kvh * rep, w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=default_interpret(interpret),
-    )(lengths.astype(jnp.int32), qg, k_cache, v_cache)
+    )(lengths.astype(jnp.int32), qg, k2, v2)
+    # diagonal band extraction (row-group g keeps lane band g)
+    out = out.reshape(b, kvh, rep, kvh, d)
+    out = jnp.take_along_axis(
+        out, jnp.arange(kvh)[None, :, None, None, None], axis=3)[:, :, :,
+                                                                 0]
     return out.reshape(b, h * d)
 
 
 # ------------------------------------------------------- KV8 cache variant
 
-def _kernel_q8(bk: int, kvh: int, rep: int, d: int, t_total: int,
-               scale: float, pack2: bool = False):
+def _kernel_q8_v4(bk: int, kvh: int, rep: int, d: int, t_total: int,
+                  b_total: int, scale: float):
+    """KV8 version of _kernel_v4. The per-(token, head) scales land as
+    (bk, 128) chunks; their per-row-group broadcast onto the (h, bk)
+    score/prob matrices is ONE MXU dot against a constant one-hot
+    selector G (G[r, j] = 1 iff j == head(r)): M = G @ sk_blk^T — the
+    MXU does the transpose-and-gather that would otherwise be a
+    relayout + per-head VPU loop."""
     nk_max = t_total // bk
+    w = kvh * d
+    h = kvh * rep
 
     def kernel(len_ref, q_ref, qk_hbm, sk_hbm, qv_hbm, sv_hbm, o_ref,
                bufk, bufsk, bufv, bufsv, sems):
-        b = pl.program_id(0)
-        length = len_ref[b]
-        nk = jnp.minimum((length + bk - 1) // bk, nk_max)
+        sched = [(b, t) for b in range(b_total) for t in range(nk_max)]
 
-        def dmas(slot, t):
+        def nk_of(b):
+            return jnp.minimum((len_ref[b] + bk - 1) // bk, nk_max)
+
+        def pred(i):
+            b, t = sched[i]
+            return t < nk_of(b)
+
+        def dmas(slot, i):
+            b, t = sched[i]
             start = jnp.minimum(t, nk_max - 1) * bk
             return [
                 pltpu.make_async_copy(qk_hbm.at[b, pl.ds(start, bk)],
@@ -222,69 +544,74 @@ def _kernel_q8(bk: int, kvh: int, rep: int, d: int, t_total: int,
                                       bufsv.at[slot], sems.at[slot, 3]),
             ]
 
-        for dma in dmas(0, 0):
-            dma.start()
-        if nk_max > 1:
-            @pl.when(nk > 1)
+        def start_all(i):
+            @pl.when(pred(i))
             def _():
-                for dma in dmas(1, 1):
+                for dma in dmas(i % 2, i):
                     dma.start()
 
-        q = q_ref[0].astype(jnp.float32) * scale     # (kvh, rep, d)
+        start_all(0)
+        if len(sched) > 1:
+            start_all(1)
 
-        def body(t, carry):
-            o, m, l = carry
-            slot = jax.lax.rem(t, 2)
-            for dma in dmas(slot, t):
-                dma.wait()
-            # scales folded as (1, bk) row vectors per head — the int8
-            # values are cast, never re-multiplied elementwise over D
-            if pack2:
-                k_heads = [bufk[slot, :, g // 2,
-                                (g % 2) * d:(g % 2 + 1) * d]
-                           .astype(jnp.float32) for g in range(kvh)]
-                v_heads = [bufv[slot, :, g // 2,
-                                (g % 2) * d:(g % 2 + 1) * d]
-                           for g in range(kvh)]
-            else:
-                k_heads = [bufk[slot, :, g].astype(jnp.float32)
-                           for g in range(kvh)]
-                v_heads = [bufv[slot, :, g] for g in range(kvh)]
-            sk_rows = [bufsk[slot, :, g][None, :] for g in range(kvh)]
-            sv_rows = [bufsv[slot, :, g][None, :] for g in range(kvh)]
-            s = jnp.stack([
-                jax.lax.dot_general(q[g], k_heads[g],
-                                    (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-                * sk_rows[g]
-                for g in range(kvh)], axis=0)        # (kvh, rep, bk)
-            k_pos = t * bk + jax.lax.broadcasted_iota(jnp.int32,
-                                                      (1, 1, bk), 2)
-            s = jnp.where(k_pos < length, s, NEG_INF)
-            m_blk = jnp.max(s, axis=-1, keepdims=True)
-            m_new = jnp.maximum(m, m_blk)
-            alpha = jnp.exp(m - m_new)
-            p = jnp.exp(s - m_new)
-            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            o_new = o * alpha + jnp.stack([
-                jax.lax.dot_general(
-                    (p[g] * sv_rows[g]).astype(jnp.bfloat16),
-                    v_heads[g].astype(jnp.bfloat16),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                for g in range(kvh)], axis=0)        # (kvh, rep, d)
+        # constant one-hot head selector (h, 128)
+        row_head = jax.lax.broadcasted_iota(jnp.int32, (h, 128), 0) // rep
+        lane = jax.lax.broadcasted_iota(jnp.int32, (h, 128), 1)
+        g_sel = (lane == row_head).astype(jnp.float32)
 
-            @pl.when(t + 2 < nk)
-            def _():
-                for dma in dmas(slot, t + 2):
-                    dma.start()
-            return o_new, m_new, l_new
+        nsched = len(sched)
+        for b in range(b_total):
+            q = q_ref[b].astype(jnp.float32) * scale
+            q_ext = jnp.concatenate(
+                [jnp.pad(q[g], ((0, 0), (g * d, w - (g + 1) * d)))
+                 for g in range(kvh)], axis=0)          # (h, w)
+            length = len_ref[b]
+            nk = nk_of(b)
+            o = jnp.zeros((h, w), jnp.float32)
+            m = jnp.full((h, 1), NEG_INF, jnp.float32)
+            l = jnp.zeros((h, 1), jnp.float32)
+            for t in range(nk_max):
+                i = b * nk_max + t
+                slot = i % 2
 
-        o0 = jnp.zeros((kvh, rep, d), jnp.float32)
-        m0 = jnp.full((kvh, rep, 1), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((kvh, rep, 1), jnp.float32)
-        o, m, l = jax.lax.fori_loop(0, nk, body, (o0, m0, l0))
-        o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+                @pl.when(pred(i))
+                def _wait():
+                    for dma in dmas(slot, i):
+                        dma.wait()
+
+                def live_body(carry):
+                    o, m, l = carry
+                    mk = jax.lax.dot_general(
+                        g_sel, bufsk[slot], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (h, bk)
+                    s = jax.lax.dot_general(
+                        q_ext, bufk[slot].astype(jnp.float32),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * mk
+                    k_pos = t * bk + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, bk), 1)
+                    s = jnp.where(k_pos < length, s, NEG_INF)
+                    m_blk = jnp.max(s, axis=-1, keepdims=True)
+                    m_new = jnp.maximum(m, m_blk)
+                    alpha = jnp.exp(m - m_new)
+                    p = jnp.exp(s - m_new)
+                    l_new = l * alpha + jnp.sum(p, axis=-1,
+                                                keepdims=True)
+                    mv = jax.lax.dot_general(
+                        g_sel, bufsv[slot], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (h, bk)
+                    pv = jax.lax.dot_general(
+                        (p * mv).astype(jnp.bfloat16),
+                        bufv[slot].astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (h, w)
+                    return o * alpha + pv, m_new, l_new
+
+                o, m, l = jax.lax.cond(t < nk, live_body,
+                                       lambda c: c, (o, m, l))
+                if i + 2 < nsched:
+                    start_all(i + 2)
+            o_ref[b] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
     return kernel
 
@@ -301,46 +628,48 @@ def decode_attention_q8(q, qk, sk, qv, sv, lengths, *, bk: int = 512,
     b, h, d = q.shape
     _, t, kvh, _ = qk.shape
     rep = h // kvh
+    w = kvh * d
     assert sk.shape[-1] == 128 and sv.shape[-1] == 128, \
         "scales must be lane-padded to 128 (pad at WRITE time, not here)"
-    # dh=64 head-pairing (see _kernel): per-head scales are (B, T, 128)
-    # rows and unaffected by the value-cache reshape.
-    pack2 = d == 64 and kvh % 2 == 0
-    if pack2:
-        qk = qk.reshape(b, t, kvh // 2, 128)
-        qv = qv.reshape(b, t, kvh // 2, 128)
+    assert w % 128 == 0 and kvh <= 128, (kvh, d)
+    k2 = qk.reshape(b, t, w)
+    v2 = qv.reshape(b, t, w)
     elt = 1  # int8 chunks dominate
     budget = 6 * 1024 * 1024
-    bk_cap = max(budget // (4 * kvh * d * elt) // 128 * 128, 128)
+    bk_cap = max(budget // (4 * w * elt) // 128 * 128, 128)
     bk = _divisor_block(t, min(bk, bk_cap, t))
     qg = q.reshape(b, kvh, rep, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec((1, kvh, rep, d), lambda bi, lens: (bi, 0, 0, 0)),
+            pl.BlockSpec((b, kvh, rep, d), lambda i, lens: (0, 0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, kvh, rep, d),
-                               lambda bi, lens: (bi, 0, 0, 0)),
+        out_specs=pl.BlockSpec((b, kvh * rep, w),
+                               lambda i, lens: (0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, bk) + qk.shape[2:], jnp.int8),
+            pltpu.VMEM((2, bk, w), jnp.int8),
             pltpu.VMEM((2, bk, 128), jnp.float32),
-            pltpu.VMEM((2, bk) + qv.shape[2:], jnp.int8),
+            pltpu.VMEM((2, bk, w), jnp.int8),
             pltpu.VMEM((2, bk, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
     out = pl.pallas_call(
-        _kernel_q8(bk, kvh, rep, d, t, d ** -0.5, pack2),
+        _kernel_q8_v4(bk, kvh, rep, d, t, b, d ** -0.5),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, kvh, rep, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, kvh * rep, w), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=default_interpret(interpret),
-    )(lengths.astype(jnp.int32), qg, qk, sk, qv, sv)
+    )(lengths.astype(jnp.int32), qg, k2, sk, v2, sv)
+    out = out.reshape(b, kvh, rep, kvh, d)
+    out = jnp.take_along_axis(
+        out, jnp.arange(kvh)[None, :, None, None, None], axis=3)[:, :, :,
+                                                                 0]
     return out.reshape(b, h * d)
