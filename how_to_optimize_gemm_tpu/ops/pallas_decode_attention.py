@@ -49,6 +49,141 @@ def _divisor_block(t: int, cap: int) -> int:
     return t
 
 
+def _decode_attention_v3(q, k_cache, v_cache, lengths, *, bk, interpret):
+    """v3 wrapper (wide-MHA path, d == 128): one program per slot,
+    per-head dots, dynamic fori chunk walk."""
+    b, h, d = q.shape
+    _, t, kvh, _ = k_cache.shape
+    rep = h // kvh
+    elt = jnp.dtype(k_cache.dtype).itemsize
+    budget = 6 * 1024 * 1024
+    bk_cap = max(budget // (4 * kvh * d * elt) // 128 * 128, 128)
+    bk = _divisor_block(t, min(bk, bk_cap, t))
+    qg = q.reshape(b, kvh, rep, d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, kvh, rep, d), lambda bi, lens: (bi, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, kvh, rep, d),
+                               lambda bi, lens: (bi, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, bk, kvh, d), k_cache.dtype),
+            pltpu.VMEM((2, bk, kvh, d), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        _kernel_v3(bk, kvh, rep, d, t, d ** -0.5),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kvh, rep, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=default_interpret(interpret),
+    )(lengths.astype(jnp.int32), qg, k_cache, v_cache)
+    return out.reshape(b, h * d)
+
+
+def _kernel_v3(bk: int, kvh: int, rep: int, d: int, t_total: int,
+            scale: float, pack2: bool = False):
+    """pack2: dh=64 mode — the caches are VIEWED as (B, T, KVH//2, 128)
+    (a free contiguous reshape pairing adjacent heads per 128-lane row),
+    because Mosaic DMA slices need a full-128 lane dim; each head's
+    (bk, 64) block is a static lane slice of the landed chunk."""
+    nk_max = t_total // bk
+
+    def kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref, bufk, bufv, sems):
+        b = pl.program_id(0)
+        length = len_ref[b]
+        nk = jnp.minimum((length + bk - 1) // bk, nk_max)
+
+        def dma_k(slot, t):
+            # clamp: guarded (pl.when) starts still TRACE the slice, so
+            # an unclamped t*bk would be out of bounds at trace time.
+            start = jnp.minimum(t, nk_max - 1) * bk
+            return pltpu.make_async_copy(
+                k_hbm.at[b, pl.ds(start, bk)], bufk.at[slot],
+                sems.at[slot, 0])
+
+        def dma_v(slot, t):
+            start = jnp.minimum(t, nk_max - 1) * bk
+            return pltpu.make_async_copy(
+                v_hbm.at[b, pl.ds(start, bk)], bufv.at[slot],
+                sems.at[slot, 1])
+
+        dma_k(0, 0).start()
+        dma_v(0, 0).start()
+
+        if nk_max > 1:
+            @pl.when(nk > 1)
+            def _():
+                dma_k(1, 1).start()
+                dma_v(1, 1).start()
+
+        q = q_ref[0].astype(jnp.float32) * scale     # (kvh, rep, d)
+
+        def body(t, carry):
+            o, m, l = carry
+            slot = jax.lax.rem(t, 2)
+
+            dma_k(slot, t).wait()
+            dma_v(slot, t).wait()
+            # Per-head static loop: Mosaic rejects batched matmuls whose
+            # rhs batch dim isn't leading, so slice each head out of the
+            # time-major chunk (kvh is small and static).
+            if pack2:
+                k_heads = [bufk[slot, :, g // 2,
+                                (g % 2) * d:(g % 2 + 1) * d]
+                           .astype(jnp.float32) for g in range(kvh)]
+                v_heads = [bufv[slot, :, g // 2,
+                                (g % 2) * d:(g % 2 + 1) * d]
+                           for g in range(kvh)]
+            else:
+                k_heads = [bufk[slot, :, g].astype(jnp.float32)
+                           for g in range(kvh)]      # each (bk, d)
+                v_heads = [bufv[slot, :, g] for g in range(kvh)]
+            s = jnp.stack([
+                jax.lax.dot_general(q[g], k_heads[g],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                for g in range(kvh)], axis=0)        # (kvh, rep, bk)
+            k_pos = t * bk + jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, bk), 2)
+            s = jnp.where(k_pos < length, s, NEG_INF)
+            m_blk = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m, m_blk)
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            o_new = o * alpha + jnp.stack([
+                jax.lax.dot_general(p[g].astype(v_heads[g].dtype),
+                                    v_heads[g],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                for g in range(kvh)], axis=0)        # (kvh, rep, d)
+
+            # Refill this slot only AFTER its chunk was consumed.
+            @pl.when(t + 2 < nk)
+            def _():
+                dma_k(slot, t + 2).start()
+                dma_v(slot, t + 2).start()
+            return o_new, m_new, l_new
+
+        o0 = jnp.zeros((kvh, rep, d), jnp.float32)
+        m0 = jnp.full((kvh, rep, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((kvh, rep, 1), jnp.float32)
+        o, m, l = jax.lax.fori_loop(0, nk, body, (o0, m0, l0))
+        # The slot writes its token before attending, so length >= 1 and
+        # l > 0 always; the max() only guards padded batch rows.
+        o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+    return kernel
+
+
 def _kernel_v4(bk: int, kvh: int, rep: int, d: int, t_total: int,
                b_total: int, scale: float):
     """v4 (round 2): ONE program serves ALL batch slots with FUSED-HEAD
@@ -461,6 +596,15 @@ def decode_attention(q, k_cache, v_cache, lengths, *, bk: int = 512,
     assert w % 128 == 0, \
         f"decode_attention needs kvh*dh % 128 == 0, got {kvh}x{d}" \
         " (llama routing falls back to eager otherwise)"
+    if w > 1024:
+        # wide-MHA models (e.g. Llama-2-7B, kvh=32 d=128): the fused-
+        # head kernel's (bk, w) chunks and block-diagonal Q explode in
+        # width (97% zeros at kvh=32) and compile time; the per-slot
+        # per-head v3 kernel serves these — their decode is weight-
+        # stream-bound, so v3's per-chunk overhead is immaterial.
+        assert d == 128, (kvh, d)
+        return _decode_attention_v3(q, k_cache, v_cache, lengths, bk=bk,
+                                    interpret=interpret)
     # fused-head 2D cache view (free contiguous reshape; see _kernel_v4)
     k2 = k_cache.reshape(b, t, w)
     v2 = v_cache.reshape(b, t, w)
@@ -506,6 +650,138 @@ def decode_attention(q, k_cache, v_cache, lengths, *, bk: int = 512,
 
 
 # ------------------------------------------------------- KV8 cache variant
+
+def _decode_attention_q8_v3(q, qk, sk, qv, sv, lengths, *, bk,
+                            interpret):
+    """v3 KV8 wrapper (wide-MHA path, d == 128)."""
+    b, h, d = q.shape
+    _, t, kvh, _ = qk.shape
+    rep = h // kvh
+    budget = 6 * 1024 * 1024
+    bk_cap = max(budget // (4 * kvh * d) // 128 * 128, 128)
+    bk = _divisor_block(t, min(bk, bk_cap, t))
+    qg = q.reshape(b, kvh, rep, d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, kvh, rep, d), lambda bi, lens: (bi, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, kvh, rep, d),
+                               lambda bi, lens: (bi, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, bk, kvh, d), jnp.int8),
+            pltpu.VMEM((2, bk, 128), jnp.float32),
+            pltpu.VMEM((2, bk, kvh, d), jnp.int8),
+            pltpu.VMEM((2, bk, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    out = pl.pallas_call(
+        _kernel_q8_v3(bk, kvh, rep, d, t, d ** -0.5),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kvh, rep, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=default_interpret(interpret),
+    )(lengths.astype(jnp.int32), qg, qk, sk, qv, sv)
+    return out.reshape(b, h * d)
+
+
+def _kernel_q8_v3(bk: int, kvh: int, rep: int, d: int, t_total: int,
+               scale: float, pack2: bool = False):
+    nk_max = t_total // bk
+
+    def kernel(len_ref, q_ref, qk_hbm, sk_hbm, qv_hbm, sv_hbm, o_ref,
+               bufk, bufsk, bufv, bufsv, sems):
+        b = pl.program_id(0)
+        length = len_ref[b]
+        nk = jnp.minimum((length + bk - 1) // bk, nk_max)
+
+        def dmas(slot, t):
+            start = jnp.minimum(t, nk_max - 1) * bk
+            return [
+                pltpu.make_async_copy(qk_hbm.at[b, pl.ds(start, bk)],
+                                      bufk.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(sk_hbm.at[b, pl.ds(start, bk)],
+                                      bufsk.at[slot], sems.at[slot, 1]),
+                pltpu.make_async_copy(qv_hbm.at[b, pl.ds(start, bk)],
+                                      bufv.at[slot], sems.at[slot, 2]),
+                pltpu.make_async_copy(sv_hbm.at[b, pl.ds(start, bk)],
+                                      bufsv.at[slot], sems.at[slot, 3]),
+            ]
+
+        for dma in dmas(0, 0):
+            dma.start()
+        if nk_max > 1:
+            @pl.when(nk > 1)
+            def _():
+                for dma in dmas(1, 1):
+                    dma.start()
+
+        q = q_ref[0].astype(jnp.float32) * scale     # (kvh, rep, d)
+
+        def body(t, carry):
+            o, m, l = carry
+            slot = jax.lax.rem(t, 2)
+            for dma in dmas(slot, t):
+                dma.wait()
+            # scales folded as (1, bk) row vectors per head — the int8
+            # values are cast, never re-multiplied elementwise over D
+            if pack2:
+                k_heads = [bufk[slot, :, g // 2,
+                                (g % 2) * d:(g % 2 + 1) * d]
+                           .astype(jnp.float32) for g in range(kvh)]
+                v_heads = [bufv[slot, :, g // 2,
+                                (g % 2) * d:(g % 2 + 1) * d]
+                           for g in range(kvh)]
+            else:
+                k_heads = [bufk[slot, :, g].astype(jnp.float32)
+                           for g in range(kvh)]
+                v_heads = [bufv[slot, :, g] for g in range(kvh)]
+            sk_rows = [bufsk[slot, :, g][None, :] for g in range(kvh)]
+            sv_rows = [bufsv[slot, :, g][None, :] for g in range(kvh)]
+            s = jnp.stack([
+                jax.lax.dot_general(q[g], k_heads[g],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                * sk_rows[g]
+                for g in range(kvh)], axis=0)        # (kvh, rep, bk)
+            k_pos = t * bk + jax.lax.broadcasted_iota(jnp.int32,
+                                                      (1, 1, bk), 2)
+            s = jnp.where(k_pos < length, s, NEG_INF)
+            m_blk = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m, m_blk)
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            o_new = o * alpha + jnp.stack([
+                jax.lax.dot_general(
+                    (p[g] * sv_rows[g]).astype(jnp.bfloat16),
+                    v_heads[g].astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                for g in range(kvh)], axis=0)        # (kvh, rep, d)
+
+            @pl.when(t + 2 < nk)
+            def _():
+                for dma in dmas(slot, t + 2):
+                    dma.start()
+            return o_new, m_new, l_new
+
+        o0 = jnp.zeros((kvh, rep, d), jnp.float32)
+        m0 = jnp.full((kvh, rep, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((kvh, rep, 1), jnp.float32)
+        o, m, l = jax.lax.fori_loop(0, nk, body, (o0, m0, l0))
+        o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+    return kernel
+
 
 def _kernel_q8_v4(bk: int, kvh: int, rep: int, d: int, t_total: int,
                   b_total: int, scale: float):
@@ -632,6 +908,10 @@ def decode_attention_q8(q, qk, sk, qv, sv, lengths, *, bk: int = 512,
     assert sk.shape[-1] == 128 and sv.shape[-1] == 128, \
         "scales must be lane-padded to 128 (pad at WRITE time, not here)"
     assert w % 128 == 0 and kvh <= 128, (kvh, d)
+    if w > 1024:
+        assert d == 128, (kvh, d)   # wide-MHA: v3 path (see above)
+        return _decode_attention_q8_v3(q, qk, sk, qv, sv, lengths,
+                                       bk=bk, interpret=interpret)
     k2 = qk.reshape(b, t, w)
     v2 = qv.reshape(b, t, w)
     elt = 1  # int8 chunks dominate
