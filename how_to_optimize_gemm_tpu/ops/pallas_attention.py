@@ -228,28 +228,41 @@ def mha_flash(q, k, v, *, causal: bool = True,
 
 # ---------------------------------------------------------- training VJP
 
-def _fwd_kernel_lse(bq: int, bk: int, scale: float, causal: bool,
-                    t_total: int):
+def _fwd_kernel_lse(bq: int, bk: int, ts_len: int, scale: float,
+                    causal: bool, t_total: int, nts: int):
     """Forward kernel that also emits the logsumexp rows the backward
     pass recomputes attention against. Self-attention only (S == T);
-    the VJP wrapper asserts it."""
-    nkv = t_total // bk
+    the VJP wrapper asserts it. K/V super-block streaming + the
+    scratchless single-strip path, exactly like ``_stream_kernel``
+    (round 2) — trainable S no longer VMEM-bounded by this pass."""
+    nsub = ts_len // bk
 
-    def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
+    def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *scratch):
         qi = pl.program_id(2)
+        tsi = pl.program_id(3)
+        if nts > 1:
+            acc, m_sc, l_sc = scratch
+
+            @pl.when(tsi == 0)
+            def _init():
+                acc[:] = jnp.zeros_like(acc)
+                m_sc[:] = jnp.full_like(m_sc, NEG_INF)
+                l_sc[:] = jnp.zeros_like(l_sc)
+
         q = q_ref[0, 0].astype(jnp.float32) * scale
         d = q.shape[-1]
         q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+        base = tsi * ts_len
 
-        def body(t, carry):
+        def body(tt, carry):
             o, m, l = carry
-            k_blk = k_ref[0, 0, pl.ds(t * bk, bk)]
-            v_blk = v_ref[0, 0, pl.ds(t * bk, bk)]
+            k_blk = k_ref[0, 0, pl.ds(tt * bk, bk)]
+            v_blk = v_ref[0, 0, pl.ds(tt * bk, bk)]
             s = jax.lax.dot_general(
                 q, k_blk.astype(jnp.float32), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             if causal:
-                k_pos = t * bk + jax.lax.broadcasted_iota(
+                k_pos = base + tt * bk + jax.lax.broadcasted_iota(
                     jnp.int32, (1, bk), 1)
                 s = jnp.where(k_pos <= q_pos, s, NEG_INF)
             m_blk = jnp.max(s, axis=-1, keepdims=True)
@@ -262,44 +275,76 @@ def _fwd_kernel_lse(bq: int, bk: int, scale: float, causal: bool,
                 preferred_element_type=jnp.float32)
             return o_new, m_new, l_new
 
-        o0 = jnp.zeros((bq, d), jnp.float32)
-        m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((bq, 1), jnp.float32)
         if causal:
-            t_hi = jnp.minimum((qi * bq + bq + bk - 1) // bk, nkv)
+            hi_global = qi * bq + bq - 1
         else:
-            t_hi = nkv
-        o, m, l = jax.lax.fori_loop(0, t_hi, body, (o0, m0, l0))
-        l = jnp.maximum(l, 1e-30)
-        o_ref[0, 0] = (o / l).astype(o_ref.dtype)
-        # lse stored with an 8-lane replicated trailing dim: a bare (bq,)
-        # row vector can't satisfy Mosaic's (8, 128)-or-full block tiling
-        lse_ref[0, 0] = jnp.broadcast_to(m + jnp.log(l), (bq, 8))
+            hi_global = t_total - 1
+        hi = jnp.clip((hi_global - base) // bk + 1, 0, nsub)
+        if nts > 1:
+            carry = (acc[:], m_sc[:, :1], l_sc[:, :1])
+        else:
+            carry = (jnp.zeros((bq, d), jnp.float32),
+                     jnp.full((bq, 1), NEG_INF, jnp.float32),
+                     jnp.zeros((bq, 1), jnp.float32))
+        o, m, l = jax.lax.fori_loop(0, hi, body, carry)
+
+        def flush(o, m, l):
+            l = jnp.maximum(l, 1e-30)
+            o_ref[0, 0] = (o / l).astype(o_ref.dtype)
+            # lse stored with an 8-lane replicated trailing dim: a bare
+            # (bq,) row can't satisfy Mosaic's (8, 128)-or-full tiling
+            lse_ref[0, 0] = jnp.broadcast_to(m + jnp.log(l), (bq, 8))
+
+        if nts > 1:
+            acc[:] = o
+            m_sc[:] = jnp.broadcast_to(m, m_sc.shape)
+            l_sc[:] = jnp.broadcast_to(l, l_sc.shape)
+
+            @pl.when(tsi == nts - 1)
+            def _flush():
+                flush(acc[:], m_sc[:, :1], l_sc[:, :1])
+        else:
+            flush(o, m, l)
 
     return kernel
 
 
-def _bwd_dq_kernel(bq: int, bk: int, scale: float, causal: bool,
-                   t_total: int):
-    nkv = t_total // bk
+def _bwd_dq_kernel(bq: int, bk: int, ts_len: int, scale: float,
+                   causal: bool, t_total: int, nts: int):
+    """dq pass with super-block-streamed K/V (round 2): dq accumulates
+    in VMEM scratch across the sequential tsi steps, so this pass no
+    longer bounds trainable S by VMEM (it used to hold full-T K/V
+    strips). Single-strip path stays scratchless (the Mosaic
+    scratch-carry penalty — see _stream_kernel)."""
+    nsub = ts_len // bk
 
-    def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref):
+    def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+               *scratch):
         qi = pl.program_id(2)
+        tsi = pl.program_id(3)
+        if nts > 1:
+            dq_acc, = scratch
+
+            @pl.when(tsi == 0)
+            def _init():
+                dq_acc[:] = jnp.zeros_like(dq_acc)
+
         q = q_ref[0, 0].astype(jnp.float32) * scale
         do = do_ref[0, 0].astype(jnp.float32)
         lse = lse_ref[0, 0][:, :1]
         delta = delta_ref[0, 0][:, :1]
         d = q.shape[-1]
         q_pos = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+        base = tsi * ts_len
 
-        def body(t, dq):
-            k_blk = k_ref[0, 0, pl.ds(t * bk, bk)].astype(jnp.float32)
-            v_blk = v_ref[0, 0, pl.ds(t * bk, bk)].astype(jnp.float32)
+        def body(tt, dq):
+            k_blk = k_ref[0, 0, pl.ds(tt * bk, bk)].astype(jnp.float32)
+            v_blk = v_ref[0, 0, pl.ds(tt * bk, bk)].astype(jnp.float32)
             s = jax.lax.dot_general(
                 q, k_blk, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             if causal:
-                k_pos = t * bk + jax.lax.broadcasted_iota(
+                k_pos = base + tt * bk + jax.lax.broadcasted_iota(
                     jnp.int32, (1, bk), 1)
                 s = jnp.where(k_pos <= q_pos, s, NEG_INF)
             p = jnp.exp(s - lse)                         # (bq, bk)
@@ -312,12 +357,20 @@ def _bwd_dq_kernel(bq: int, bk: int, scale: float, causal: bool,
                 preferred_element_type=jnp.float32)
 
         if causal:
-            t_hi = jnp.minimum((qi * bq + bq + bk - 1) // bk, nkv)
+            hi_global = qi * bq + bq - 1
         else:
-            t_hi = nkv
-        dq = jax.lax.fori_loop(0, t_hi, body,
-                               jnp.zeros((bq, d), jnp.float32))
-        dq_ref[0, 0] = (dq * scale).astype(dq_ref.dtype)
+            hi_global = t_total - 1
+        hi = jnp.clip((hi_global - base) // bk + 1, 0, nsub)
+        dq0 = dq_acc[:] if nts > 1 else jnp.zeros((bq, d), jnp.float32)
+        dq = jax.lax.fori_loop(0, hi, body, dq0)
+        if nts > 1:
+            dq_acc[:] = dq
+
+            @pl.when(tsi == nts - 1)
+            def _flush():
+                dq_ref[0, 0] = (dq_acc[:] * scale).astype(dq_ref.dtype)
+        else:
+            dq_ref[0, 0] = (dq * scale).astype(dq_ref.dtype)
 
     return kernel
 
@@ -387,33 +440,51 @@ def _flash_fwd_lse(q, k, v, causal, bq, bk, interpret):
     _, kvh, t, _ = k.shape
     rep = h // kvh
     scale = d ** -0.5
+    assert t % bk == 0 and s % bq == 0, (s, t, bq, bk)
+    ts_len = min(8192, t)
+    while t % ts_len:
+        ts_len -= bk
+    nts = t // ts_len
+    if causal:
+        def kv_index(bi, hi, qi, tsi, rep=rep):
+            last_live = jnp.minimum((qi * bq + bq - 1) // ts_len,
+                                    nts - 1)
+            return (bi, hi // rep, jnp.minimum(tsi, last_live), 0)
+    else:
+        def kv_index(bi, hi, qi, tsi, rep=rep):
+            return (bi, hi // rep, tsi, 0)
     out, lse = pl.pallas_call(
-        _fwd_kernel_lse(bq, bk, scale, causal, t),
-        grid=(b, h, s // bq),
+        _fwd_kernel_lse(bq, bk, ts_len, scale, causal, t, nts),
+        grid=(b, h, s // bq, nts),
         in_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+            pl.BlockSpec((1, 1, bq, d),
+                         lambda bi, hi, qi, tsi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t, d),
-                         lambda bi, hi, qi, rep=rep: (bi, hi // rep, 0, 0),
+            pl.BlockSpec((1, 1, ts_len, d), kv_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t, d),
-                         lambda bi, hi, qi, rep=rep: (bi, hi // rep, 0, 0),
+            pl.BlockSpec((1, 1, ts_len, d), kv_index,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, bq, d),
-                         lambda bi, hi, qi: (bi, hi, qi, 0),
+                         lambda bi, hi, qi, tsi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, 8), lambda bi, hi, qi: (bi, hi,
-                                                            qi, 0),
+            pl.BlockSpec((1, 1, bq, 8),
+                         lambda bi, hi, qi, tsi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
             jax.ShapeDtypeStruct((b, h, s, 8), jnp.float32),
         ],
+        scratch_shapes=([
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 8), jnp.float32),
+            pltpu.VMEM((bq, 8), jnp.float32),
+        ] if nts > 1 else []),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary",
+                                 "arbitrary"),
         ),
         interpret=default_interpret(interpret),
     )(q, k, v)
@@ -429,33 +500,47 @@ def _flash_bwd(q, k, v, o, lse, do, causal, bq, bk, interpret):
                     axis=-1)                                  # (b, h, s)
     delta = jnp.broadcast_to(delta[..., None], (*delta.shape, 8))
 
+    ts_len = min(8192, t)
+    while t % ts_len:
+        ts_len -= bk
+    nts = t // ts_len
+    if causal:
+        def kv_index(bi, hi, qi, tsi, rep=rep):
+            last_live = jnp.minimum((qi * bq + bq - 1) // ts_len,
+                                    nts - 1)
+            return (bi, hi // rep, jnp.minimum(tsi, last_live), 0)
+    else:
+        def kv_index(bi, hi, qi, tsi, rep=rep):
+            return (bi, hi // rep, tsi, 0)
+
+    def q_index(bi, hi, qi, tsi):
+        return (bi, hi, qi, 0)
+
     dq = pl.pallas_call(
-        _bwd_dq_kernel(bq, bk, scale, causal, t),
-        grid=(b, h, s // bq),
+        _bwd_dq_kernel(bq, bk, ts_len, scale, causal, t, nts),
+        grid=(b, h, s // bq, nts),
         in_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+            pl.BlockSpec((1, 1, bq, d), q_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t, d),
-                         lambda bi, hi, qi, rep=rep: (bi, hi // rep, 0, 0),
+            pl.BlockSpec((1, 1, ts_len, d), kv_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t, d),
-                         lambda bi, hi, qi, rep=rep: (bi, hi // rep, 0, 0),
+            pl.BlockSpec((1, 1, ts_len, d), kv_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+            pl.BlockSpec((1, 1, bq, d), q_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, 8), lambda bi, hi, qi: (bi, hi,
-                                                            qi, 0),
+            pl.BlockSpec((1, 1, bq, 8), q_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, 8), lambda bi, hi, qi: (bi, hi,
-                                                            qi, 0),
+            pl.BlockSpec((1, 1, bq, 8), q_index,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, bq, d),
-                               lambda bi, hi, qi: (bi, hi, qi, 0),
+        out_specs=pl.BlockSpec((1, 1, bq, d), q_index,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, s, d), jnp.float32),
+        scratch_shapes=([pltpu.VMEM((bq, d), jnp.float32)]
+                        if nts > 1 else []),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary",
+                                 "arbitrary"),
         ),
         interpret=default_interpret(interpret),
     )(q, k, v, do, lse, delta)
