@@ -188,11 +188,14 @@ def _route_flash(use_pallas, s: int, dh: int) -> bool:
 
 
 def _route_decode(use_pallas, t: int, dh: int, kvh: int) -> bool:
-    """Decode-attention routing: dh=128 always; dh=64 via the
-    head-pairing cache view (needs even kvh — see
-    pallas_decode_attention._kernel)."""
-    return (_route_flash(use_pallas, t, dh)
-            and (dh == 128 or (dh == 64 and kvh % 2 == 0)))
+    """Decode-attention routing. GQA widths (kvh*dh <= 1024, 128-lane
+    multiple) ride the fused-head v4 kernel; wide-MHA (kvh*dh > 1024)
+    rides the per-head v3 kernel, which needs dh == 128 for its cache
+    DMA slices. Everything else (e.g. wide dh=64 MHA) decodes eagerly
+    — see pallas_decode_attention._kernel_v4/_kernel_v3."""
+    w = kvh * dh
+    kernel_ok = (w % 128 == 0 and w <= 1024) or dh == 128
+    return _route_flash(use_pallas, t, dh) and kernel_ok
 
 
 def _update_cache(cache, new, pos, write_mask=None):
@@ -289,8 +292,11 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
                              use_pallas)
         return x, (qk, sk, qv, sv)
     if kv is None:
-        if flash_train and _route_flash(True, s, dh):
-            # differentiable flash path (training long-context)
+        if flash_train and _route_flash(True, s, dh) and s % 512 == 0:
+            # differentiable flash path (training long-context); the
+            # TRAIN kernels still require block-divisible S (only the
+            # inference forward gained pad+mask in round 2) — odd S
+            # falls back to eager autodiff
             from how_to_optimize_gemm_tpu.ops.pallas_attention import (
                 mha_flash_train)
             attn = mha_flash_train(q, k, v, causal=True)

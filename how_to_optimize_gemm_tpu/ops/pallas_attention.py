@@ -153,7 +153,9 @@ def flash_attention(q, k, v, *, causal: bool = True, bq: int = 512,
     # lesson of rung 03b applied to attention) and to keep the common
     # serving/prefill range on the scratchless single-strip path; two
     # buffered strips stay in fast VMEM (8192*128*2B*2kv*2buf = 8 MB).
-    ts_len = min(8192, bounds.round_up(t, bk))
+    # Must be a bk MULTIPLE: the in-kernel walk covers nsub = ts/bk
+    # sub-blocks, so a non-multiple would silently drop tail keys.
+    ts_len = min((8192 // bk) * bk, bounds.round_up(t, bk))
     q = bounds.pad_dim(q, 2, bq)
     k = bounds.pad_dim(k, 2, ts_len)
     v = bounds.pad_dim(v, 2, ts_len)
@@ -441,9 +443,10 @@ def _flash_fwd_lse(q, k, v, causal, bq, bk, interpret):
     rep = h // kvh
     scale = d ** -0.5
     assert t % bk == 0 and s % bq == 0, (s, t, bq, bk)
-    ts_len = min(8192, t)
-    while t % ts_len:
-        ts_len -= bk
+    # largest bk-MULTIPLE <= 8192 that divides t (t % bk == 0 is
+    # asserted, so ts_len = bk always qualifies as the floor)
+    ts_len = next(ts for ts in range((8192 // bk) * bk, 0, -bk)
+                  if t % ts == 0)
     nts = t // ts_len
     if causal:
         def kv_index(bi, hi, qi, tsi, rep=rep):
@@ -500,9 +503,10 @@ def _flash_bwd(q, k, v, o, lse, do, causal, bq, bk, interpret):
                     axis=-1)                                  # (b, h, s)
     delta = jnp.broadcast_to(delta[..., None], (*delta.shape, 8))
 
-    ts_len = min(8192, t)
-    while t % ts_len:
-        ts_len -= bk
+    # largest bk-MULTIPLE <= 8192 that divides t (t % bk == 0 is
+    # asserted, so ts_len = bk always qualifies as the floor)
+    ts_len = next(ts for ts in range((8192 // bk) * bk, 0, -bk)
+                  if t % ts == 0)
     nts = t // ts_len
     if causal:
         def kv_index(bi, hi, qi, tsi, rep=rep):

@@ -89,11 +89,11 @@ def _decode_attention_v3(q, k_cache, v_cache, lengths, *, bk, interpret):
 
 
 def _kernel_v3(bk: int, kvh: int, rep: int, d: int, t_total: int,
-            scale: float, pack2: bool = False):
-    """pack2: dh=64 mode — the caches are VIEWED as (B, T, KVH//2, 128)
-    (a free contiguous reshape pairing adjacent heads per 128-lane row),
-    because Mosaic DMA slices need a full-128 lane dim; each head's
-    (bk, 64) block is a static lane slice of the landed chunk."""
+               scale: float):
+    """Wide-MHA kernel (kvh*d > 1024, d == 128): one program per slot,
+    per-head dots, dynamic fori chunk walk. Kept because those models
+    decode weight-stream-bound — v4's fused width would be 97% zeros
+    there and explode compile time."""
     nk_max = t_total // bk
 
     def kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref, bufk, bufv, sems):
@@ -135,17 +135,9 @@ def _kernel_v3(bk: int, kvh: int, rep: int, d: int, t_total: int,
             # Per-head static loop: Mosaic rejects batched matmuls whose
             # rhs batch dim isn't leading, so slice each head out of the
             # time-major chunk (kvh is small and static).
-            if pack2:
-                k_heads = [bufk[slot, :, g // 2,
-                                (g % 2) * d:(g % 2 + 1) * d]
-                           .astype(jnp.float32) for g in range(kvh)]
-                v_heads = [bufv[slot, :, g // 2,
-                                (g % 2) * d:(g % 2 + 1) * d]
-                           for g in range(kvh)]
-            else:
-                k_heads = [bufk[slot, :, g].astype(jnp.float32)
-                           for g in range(kvh)]      # each (bk, d)
-                v_heads = [bufv[slot, :, g] for g in range(kvh)]
+            k_heads = [bufk[slot, :, g].astype(jnp.float32)
+                       for g in range(kvh)]          # each (bk, d)
+            v_heads = [bufv[slot, :, g] for g in range(kvh)]
             s = jnp.stack([
                 jax.lax.dot_general(q[g], k_heads[g],
                                     (((1,), (1,)), ((), ())),
@@ -316,272 +308,6 @@ def _kernel_v4(bk: int, kvh: int, rep: int, d: int, t_total: int,
     return kernel
 
 
-def _kernel_v4(bk: int, kvh: int, rep: int, d: int, t_total: int,
-               b_total: int, scale: float):
-    """v4 (round 2): ONE program serves ALL batch slots with FUSED-HEAD
-    chunks.
-
-    The v3 design (one program per slot, per-head dot loop) measured
-    ~20 us of fixed cost per program PLUS ~20 us per chunk — launch,
-    DMA prologue stalls, and ~30 tiny VPU/MXU ops per chunk on
-    (kvh, rep, bk) slivers; a full-cache read at d2048/T=2048 crawled
-    at 25-83 GB/s and LOST to eager XLA (1195 vs 2393 tok/s on the
-    dh=64 config). Three structural fixes, each killing one overhead:
-
-    1. Cache chunks are consumed as 2D (bk, kvh*d) views — one DMA per
-       chunk per cache, no per-head slicing (full-lane rule satisfied
-       for ANY d with kvh*d % 128 == 0, so dh=64 needs no special
-       pairing path).
-    2. All heads' scores come from ONE dot: Q is assembled
-       block-structured — row g*rep+r holds slot query (g, r) zero-
-       extended into lane band [g*d, (g+1)*d) — so contraction over
-       the full kvh*d lanes yields exactly head g's score per row
-       (zeros annihilate other heads). The PV product likewise is one
-       (h, bk) @ (bk, kvh*d) dot; each row-group's own band is sliced
-       from the small (h, kvh*d) result afterwards.
-    3. The slot loop is INSIDE the kernel (grid=(1,)): one launch, one
-       prologue, and the chunk DMA pipeline crosses slot boundaries —
-       the next slot's first chunk prefetches while the current slot
-       computes. Chunk walks are fully static-unrolled (fori back-
-       edges cost ~9 us) with per-chunk predication on the prefetched
-       lengths; dead chunks issue no DMAs and skip their compute via
-       lax.cond (an unconditional where()-ed body still paid ~5 us of
-       op issue per dead chunk).
-    """
-    nk_max = t_total // bk
-    w = kvh * d
-    h = kvh * rep
-
-    def kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref, bufk, bufv, sems):
-        # flattened static chunk schedule: (slot b, chunk t)
-        sched = [(b, t) for b in range(b_total) for t in range(nk_max)]
-
-        def nk_of(b):
-            return jnp.minimum((len_ref[b] + bk - 1) // bk, nk_max)
-
-        def pred(i):
-            b, t = sched[i]
-            return t < nk_of(b)
-
-        def dma_k(slot, i):
-            b, t = sched[i]
-            start = jnp.minimum(t, nk_max - 1) * bk
-            return pltpu.make_async_copy(
-                k_hbm.at[b, pl.ds(start, bk)], bufk.at[slot],
-                sems.at[slot, 0])
-
-        def dma_v(slot, i):
-            b, t = sched[i]
-            start = jnp.minimum(t, nk_max - 1) * bk
-            return pltpu.make_async_copy(
-                v_hbm.at[b, pl.ds(start, bk)], bufv.at[slot],
-                sems.at[slot, 1])
-
-        def start_pair(i):
-            @pl.when(pred(i))
-            def _():
-                dma_k(i % 2, i).start()
-                dma_v(i % 2, i).start()
-
-        start_pair(0)
-        if len(sched) > 1:
-            start_pair(1)
-
-        nsched = len(sched)
-        for b in range(b_total):
-            # block-structured zero-extended Q for this slot:
-            # (h, w) with head g's (rep, d) in rows g*rep.., lanes g*d..
-            q = q_ref[b].astype(jnp.float32) * scale   # (kvh, rep, d)
-            q_ext = jnp.concatenate(
-                [jnp.pad(q[g], ((0, 0), (g * d, w - (g + 1) * d)))
-                 for g in range(kvh)], axis=0)          # (h, w)
-            length = len_ref[b]
-            nk = nk_of(b)
-            # o accumulates the FULL (h, w) PV product: slicing each
-            # row-group's band in-kernel trips Mosaic ("offset mismatch
-            # on non-concat dimension"); the wrapper takes the diagonal
-            # bands afterwards in XLA-land (a 256 KB op)
-            o = jnp.zeros((h, w), jnp.float32)
-            m = jnp.full((h, 1), NEG_INF, jnp.float32)
-            l = jnp.zeros((h, 1), jnp.float32)
-            for t in range(nk_max):
-                i = b * nk_max + t
-                slot = i % 2
-
-                @pl.when(pred(i))
-                def _wait():
-                    dma_k(slot, i).wait()
-                    dma_v(slot, i).wait()
-
-                def live_body(carry):
-                    # the whole update under lax.cond: a dead chunk's
-                    # where()-ed-out compute still costs ~5 us of op
-                    # issue, and at decode lengths << max_seq MOST
-                    # static chunks are dead (measured: the
-                    # unconditional version lost ~30% of tokens/s)
-                    o, m, l = carry
-                    k_blk = bufk[slot].astype(jnp.float32)  # (bk, w)
-                    s = jax.lax.dot_general(
-                        q_ext, k_blk, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # (h, bk)
-                    k_pos = t * bk + jax.lax.broadcasted_iota(
-                        jnp.int32, (1, bk), 1)
-                    s = jnp.where(k_pos < length, s, NEG_INF)
-                    m_blk = jnp.max(s, axis=-1, keepdims=True)
-                    m_new = jnp.maximum(m, m_blk)
-                    alpha = jnp.exp(m - m_new)
-                    p = jnp.exp(s - m_new)
-                    l_new = l * alpha + jnp.sum(p, axis=-1,
-                                                keepdims=True)
-                    pv = jax.lax.dot_general(
-                        p.astype(bufv.dtype), bufv[slot],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # (h, w)
-                    return o * alpha + pv, m_new, l_new
-
-                o, m, l = jax.lax.cond(t < nk, live_body,
-                                       lambda c: c, (o, m, l))
-                if i + 2 < nsched:
-                    start_pair(i + 2)
-            o_ref[b] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-
-    return kernel
-
-
-def _kernel(bk: int, kvh: int, rep: int, d: int, t_total: int,
-            scale: float, pack2: bool = False):
-    """pack2: dh=64 mode — the caches are VIEWED as (B, T, KVH//2, 128)
-    (a free contiguous reshape pairing adjacent heads per 128-lane row),
-    because Mosaic DMA slices need a full-128 lane dim. The landed
-    chunks are consumed WHOLE: lane-slicing (bk, 64) halves out of them
-    forces Mosaic relayout copies per head per chunk (measured: the
-    sliced version decoded at 1195 tok/s where eager did 2393 on the
-    d2048 config). Instead each head's query is ZERO-EXTENDED to the
-    full 128 lanes — the zeros annihilate the paired head's dims in the
-    score contraction — and only the tiny (rep, 64) output is sliced
-    from the pair-wide PV product."""
-    nk_max = t_total // bk
-
-    def kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref, bufk, bufv, sems):
-        b = pl.program_id(0)
-        length = len_ref[b]
-        nk = jnp.minimum((length + bk - 1) // bk, nk_max)
-
-        def dma_k(slot, t):
-            # clamp: guarded (pl.when) starts still TRACE the slice, so
-            # an unclamped t*bk would be out of bounds at trace time.
-            start = jnp.minimum(t, nk_max - 1) * bk
-            return pltpu.make_async_copy(
-                k_hbm.at[b, pl.ds(start, bk)], bufk.at[slot],
-                sems.at[slot, 0])
-
-        def dma_v(slot, t):
-            start = jnp.minimum(t, nk_max - 1) * bk
-            return pltpu.make_async_copy(
-                v_hbm.at[b, pl.ds(start, bk)], bufv.at[slot],
-                sems.at[slot, 1])
-
-        dma_k(0, 0).start()
-        dma_v(0, 0).start()
-
-        if nk_max > 1:
-            @pl.when(nk > 1)
-            def _():
-                dma_k(1, 1).start()
-                dma_v(1, 1).start()
-
-        q = q_ref[0].astype(jnp.float32) * scale     # (kvh, rep, d)
-
-        def body(t, slot, carry):
-            # STATIC t and slot (Python ints): the chunk walk is fully
-            # unrolled — a lax.fori version costs ~9 us of scheduling
-            # bubble per back-edge (measured 12.75 us/chunk where the
-            # chunk DMA itself is 0.64 us; the round-1 rung-09 lesson
-            # recurring), and traced slot indices on MXU operands force
-            # staging copies. Dead chunks (t >= nk) are predicated off
-            # at the DMA level and where()-ed out of the carry.
-            o, m, l = carry
-
-            # waits predicated exactly like the starts: a dead chunk's
-            # DMA never launched, so an unguarded wait would deadlock
-            @pl.when(t < nk)
-            def _wait():
-                dma_k(slot, t).wait()
-                dma_v(slot, t).wait()
-            # Per-head static loop: Mosaic rejects batched matmuls whose
-            # rhs batch dim isn't leading, so slice each head out of the
-            # time-major chunk (kvh is small and static).
-            if pack2:
-                # full 128-lane pair rows; zero-extended q per head
-                k_heads = [bufk[slot, :, g // 2].astype(jnp.float32)
-                           for g in range(kvh)]      # each (bk, 128)
-                v_heads = [bufv[slot, :, g // 2] for g in range(kvh)]
-                q_use = [jnp.pad(q[g], ((0, 0), ((g % 2) * d,
-                                                 (1 - g % 2) * d)))
-                         for g in range(kvh)]        # each (rep, 128)
-            else:
-                k_heads = [bufk[slot, :, g].astype(jnp.float32)
-                           for g in range(kvh)]      # each (bk, d)
-                v_heads = [bufv[slot, :, g] for g in range(kvh)]
-                q_use = [q[g] for g in range(kvh)]
-            s = jnp.stack([
-                jax.lax.dot_general(q_use[g], k_heads[g],
-                                    (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-                for g in range(kvh)], axis=0)        # (kvh, rep, bk)
-            k_pos = t * bk + jax.lax.broadcasted_iota(
-                jnp.int32, (1, 1, bk), 2)
-            s = jnp.where(k_pos < length, s, NEG_INF)
-            m_blk = jnp.max(s, axis=-1, keepdims=True)
-            m_new = jnp.maximum(m, m_blk)
-            alpha = jnp.exp(m - m_new)
-            p = jnp.exp(s - m_new)
-            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            if pack2:
-                # PV over the full pair row, then slice this head's
-                # 64-lane half of the small (rep, 128) product
-                pv = [jax.lax.dot_general(
-                          p[g].astype(v_heads[g].dtype), v_heads[g],
-                          (((1,), (0,)), ((), ())),
-                          preferred_element_type=jnp.float32)
-                      for g in range(kvh)]
-                o_new = o * alpha + jnp.stack(
-                    [pv[g][:, (g % 2) * d:(g % 2 + 1) * d]
-                     for g in range(kvh)], axis=0)   # (kvh, rep, d)
-            else:
-                o_new = o * alpha + jnp.stack([
-                    jax.lax.dot_general(p[g].astype(v_heads[g].dtype),
-                                        v_heads[g],
-                                        (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                    for g in range(kvh)], axis=0)    # (kvh, rep, d)
-
-            # Refill this slot only AFTER its chunk was consumed.
-            if t + 2 < nk_max:
-                @pl.when(t + 2 < nk)
-                def _():
-                    dma_k(slot, t + 2).start()
-                    dma_v(slot, t + 2).start()
-            # dead-chunk select: garbage computed off a stale buffer
-            # never enters the carry
-            live = t < nk
-            return (jnp.where(live, o_new, o),
-                    jnp.where(live, m_new, m),
-                    jnp.where(live, l_new, l))
-
-        carry = (jnp.zeros((kvh, rep, d), jnp.float32),
-                 jnp.full((kvh, rep, 1), NEG_INF, jnp.float32),
-                 jnp.zeros((kvh, rep, 1), jnp.float32))
-        for t in range(nk_max):
-            carry = body(t, t % 2, carry)
-        o, m, l = carry
-        # The slot writes its token before attending, so length >= 1 and
-        # l > 0 always; the max() only guards padded batch rows.
-        o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-
-    return kernel
-
-
 @functools.partial(jax.jit, static_argnames=("bk", "interpret"))
 def decode_attention(q, k_cache, v_cache, lengths, *, bk: int = 512,
                      interpret: bool | None = None):
@@ -694,7 +420,7 @@ def _decode_attention_q8_v3(q, qk, sk, qv, sv, lengths, *, bk,
 
 
 def _kernel_q8_v3(bk: int, kvh: int, rep: int, d: int, t_total: int,
-               scale: float, pack2: bool = False):
+                  scale: float):
     nk_max = t_total // bk
 
     def kernel(len_ref, q_ref, qk_hbm, sk_hbm, qv_hbm, sv_hbm, o_ref,
@@ -733,17 +459,9 @@ def _kernel_q8_v3(bk: int, kvh: int, rep: int, d: int, t_total: int,
                 dma.wait()
             # scales folded as (1, bk) row vectors per head — the int8
             # values are cast, never re-multiplied elementwise over D
-            if pack2:
-                k_heads = [bufk[slot, :, g // 2,
-                                (g % 2) * d:(g % 2 + 1) * d]
-                           .astype(jnp.float32) for g in range(kvh)]
-                v_heads = [bufv[slot, :, g // 2,
-                                (g % 2) * d:(g % 2 + 1) * d]
-                           for g in range(kvh)]
-            else:
-                k_heads = [bufk[slot, :, g].astype(jnp.float32)
-                           for g in range(kvh)]
-                v_heads = [bufv[slot, :, g] for g in range(kvh)]
+            k_heads = [bufk[slot, :, g].astype(jnp.float32)
+                       for g in range(kvh)]
+            v_heads = [bufv[slot, :, g] for g in range(kvh)]
             sk_rows = [bufsk[slot, :, g][None, :] for g in range(kvh)]
             sv_rows = [bufsv[slot, :, g][None, :] for g in range(kvh)]
             s = jnp.stack([

@@ -44,7 +44,7 @@ LADDER_ORDER = [
 ]
 
 HEADLINE = ["06v_xla_int8", "06_pallas_int8", "07b_pallas_w4a8",
-            "11_strip_resident_int8", "14_emit_pipeline_int8"]
+            "11_strip_resident_int8", "14_packed_alias_int8"]
 
 
 def generate(outputs="outputs", save_dir="figures") -> list[str]:

@@ -153,3 +153,31 @@ def test_kv8_cache_decode_close_to_bf16():
     got = np.asarray(run(True))
     rel = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_routing_edge_cases_fall_back_not_crash():
+    """Round-2 review regressions: odd-S training must fall back to
+    eager (the TRAIN kernels require block-divisible S), and wide
+    dh=64 MHA decode must fall back to eager (neither decode kernel
+    supports kvh*dh > 1024 with dh=64)."""
+    import jax
+    import jax.numpy as jnp
+
+    # wide dh=64 MHA: kvh*dh = 32*64 = 2048 > 1024 -> eager route
+    from how_to_optimize_gemm_tpu.models.llama import _route_decode
+    assert not _route_decode(True, 2048, 64, 32)
+    assert _route_decode(True, 2048, 64, 4)        # GQA width: v4
+    assert _route_decode(True, 2048, 128, 32)      # wide MHA d=128: v3
+
+    # odd-S flash_train: loss_fn with flash_train must not crash at
+    # s=520 (routes to eager autodiff)
+    cfg = llama.LlamaConfig(vocab=64, d_model=64, n_layers=1, n_heads=2,
+                            n_kv_heads=2, d_ff=128, max_seq=520,
+                            weight_kind="fp32")
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jnp.ones((1, 520), jnp.int32)
+    loss, grads = jax.value_and_grad(
+        lambda fl: llama.loss_fn({**params, **fl}, cfg, tokens,
+                                 use_pallas=False, flash_train=True))(
+        {k: v for k, v in params.items() if k == "tok_emb"})
+    assert jnp.isfinite(loss)
