@@ -39,6 +39,8 @@ def main() -> None:
 
     peak = 0.0
     best = None
+    hand_peak = 0.0
+    hand_best = None
     for rung, sizes in RUNGS.items():
         gate_cfg = SweepConfig(pfirst=1024, plast=1024, pinc=1,
                                nrepeats=2, warmup=0)
@@ -56,7 +58,12 @@ def main() -> None:
                       f"(kernel_rel={r.kernel_rel:.2e})", file=sys.stderr)
                 if r.gflops > peak:
                     peak, best = r.gflops, rung
+                if "xla" not in rung and r.gflops > hand_peak:
+                    hand_peak, hand_best = r.gflops, rung
 
+    print(f"# best HAND rung: {hand_best} {hand_peak:.1f} GFLOPS "
+          f"({100 * hand_peak / peak:.1f}% of the overall peak)",
+          file=sys.stderr)
     print(json.dumps({
         "metric": f"peak int8 dequant-GEMM GFLOPS (best rung: {best}, "
                   "M=N=K sweep, 1 chip)",

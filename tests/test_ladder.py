@@ -59,3 +59,37 @@ def test_ones_fixture_parity():
     a, b, c = make_abc(jax.random.PRNGKey(0), m, n, k, ones=True)
     out = np.asarray(rung.run(a, b, c))
     np.testing.assert_allclose(out, np.full((m, n), float(k)), rtol=1e-5)
+
+
+def test_rung14_chooser_invariants():
+    """choose_blocks_bt: blocks must tile the padded operands, stay
+    within the measured-good strip cap, and keep the double-buffered
+    footprint under the 28 MB budget for every sweep-like shape."""
+    from how_to_optimize_gemm_tpu.ops.pallas_int8 import choose_blocks_bt
+
+    for p in (128, 512, 1024, 1536, 2048, 2560, 3072, 3584, 4096, 11008,
+              100, 640, 5632):
+        bm, bn, bk = choose_blocks_bt(p, p, p)
+        assert bm % 128 == 0 and bn % 128 == 0 and bk % 512 == 0
+        assert bm <= 1792
+        footprint = 2 * bm * bk + 2 * bn * bk + 3 * bm * bn * 4
+        assert footprint <= 28 * 1024 * 1024, (p, footprint)
+
+
+def test_rung14_odd_shapes_interpret():
+    """Boundary handling: rung 14 pads/crops like every other rung."""
+    import jax
+    import numpy as np
+    from how_to_optimize_gemm_tpu.ops import pallas_int8, pallas_manual_dma
+    from how_to_optimize_gemm_tpu.utils.matrices import make_abc
+
+    a, b, c = make_abc(jax.random.PRNGKey(0), 200, 320, 130)
+    qa, sa, qbt, sb = pallas_manual_dma.prepare_packed(a, b)
+    out = np.asarray(pallas_int8.mmult_q_bt(qa, sa, qbt, sb, c,
+                                            interpret=True))
+    from how_to_optimize_gemm_tpu.ops import quant
+    ref = (np.asarray(quant.dequantize(qa, sa), np.float64)
+           @ np.asarray(quant.dequantize(qbt.T, sb), np.float64)
+           + np.asarray(c, np.float64))
+    rel = float(np.max(np.abs(out - ref)) / np.max(np.abs(ref)))
+    assert rel < 1e-4, rel
