@@ -283,6 +283,25 @@ _register(Rung(
         "dot's 270-349/366/347-362 — wins at 4096 where rungs 08-13 "
         "all failed, parity elsewhere (see _kernel_bt)"))
 
+def _bf16_bt_effective(ops):
+    a16, bt16 = ops
+    return a16.astype(jnp.float32), jnp.swapaxes(bt16, 0, 1).astype(
+        jnp.float32)
+
+
+_register(Rung(
+    name="15_packed_alias_bf16", dtype="bf16",
+    run=lambda a16, bt16, c, **kw: pallas_tuned.mmult_bf16_bt(
+        a16, bt16, c, **kw),
+    prepare=pallas_tuned.prepare_bf16_bt, effective=_bf16_bt_effective,
+    gate_rel=1e-3, bytes_per_input_elt=2.0,
+    doc="THE bf16 SUMMIT (round 2): rung 14's recipe (aliased C + "
+        "offline-transposed B) on the bf16 family — 182/185/184.5 "
+        "TFLOPS at p=2048/3584/4096 vs the bf16 vendor dot's "
+        "174/184/167 (rung 05: 135/154/164). XLA's own bf16 emitter "
+        "beaten at every sweep size"))
+
+
 _register(Rung(
     name="07_pallas_int4", dtype="int4",
     run=_int4_run,

@@ -41,6 +41,7 @@ LADDER_ORDER = [
     ("12_resident_int8", "int8"),
     ("13_tiled_resident_int8", "int8"),
     ("14_packed_alias_int8", "int8"),
+    ("15_packed_alias_bf16", "bf16"),
 ]
 
 HEADLINE = ["06v_xla_int8", "06_pallas_int8", "07b_pallas_w4a8",
@@ -71,6 +72,15 @@ def generate(outputs="outputs", save_dir="figures") -> list[str]:
         dst = save / "ladder_int8_family.png"
         plot_mfiles(headline, save=str(dst), roofline="int8",
                     title="int8 ladder vs the XLA vendor bar")
+        written.append(str(dst))
+
+    bf16 = [mfile_of(n) for n in ("01b_xla_bf16", "05_pallas_bf16",
+                                  "15_packed_alias_bf16")]
+    bf16 = [p for p in bf16 if p is not None]
+    if len(bf16) >= 2:
+        dst = save / "ladder_bf16_family.png"
+        plot_mfiles(bf16, save=str(dst), roofline="bf16",
+                    title="bf16 ladder vs the XLA vendor bar")
         written.append(str(dst))
     return written
 
