@@ -152,6 +152,24 @@ def _mmult_impl(a, b, c, blocks, interpret, in_dtype, precision):
 
 # ------------------------------------------------- rung 15 (bf16 summit)
 
+def _make_kernel_bt(precision):
+    def kernel(a_ref, bt_ref, c_ref, o_ref, acc_ref):
+        kk = pl.program_id(2)
+
+        @pl.when(kk == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] += jax.lax.dot_general(
+            a_ref[:], bt_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+        @pl.when(kk == pl.num_programs(2) - 1)
+        def _flush():
+            o_ref[:] = acc_ref[:] + c_ref[:]
+    return kernel
+
+
 def _kernel_bf16_bt(a_ref, bt_ref, c_ref, o_ref, acc_ref):
     """Rung 15 — the bf16 family summit: rung 14's recipe (aliased C +
     offline-transposed B) applied to the bf16 ladder.
@@ -183,15 +201,21 @@ def prepare_bf16_bt(a, b):
             jnp.swapaxes(b, 0, 1).astype(jnp.bfloat16))
 
 
-def choose_blocks_bf16_bt(m: int, n: int, k: int) -> tuple[int, int, int]:
-    """Same footprint-budget derivation as rung 14's chooser with bf16
-    operand widths (measured: bm=1024@2048, 896@3584, 512@4096 optimal;
-    the 28 MB budget reproduces exactly those picks)."""
+def choose_blocks_bf16_bt(m: int, n: int, k: int,
+                          elt: int = 2) -> tuple[int, int, int]:
+    """Same footprint-budget derivation as rung 14's chooser,
+    parameterized by operand byte width (bf16 measured: bm=1024@2048,
+    896@3584, 512@4096 optimal; the 28 MB budget reproduces exactly
+    those picks; fp32 halves the K-strip cap)."""
     bn = min(bounds.round_up(n, 128), 512)
     k512 = bounds.round_up(k, 512)
-    bk = min(bounds._least_waste(k512, 4096, 512), k512)
-    budget = 28 * 1024 * 1024
-    cap_rows = (budget - 2 * bn * bk * 2) // (2 * bk * 2 + 12 * bn)
+    bk_cap = 4096 * 2 // elt
+    bk = min(bounds._least_waste(k512, bk_cap, 512), k512)
+    # Mosaic's scoped-VMEM accounting runs ~2x this model at elt=4
+    # (measured: a 25 MB-modeled fp32 config compiled to 52.5 MB of
+    # stack and OOM'd the 48 MB limit), so fp32 gets a tighter budget.
+    budget = (28 if elt <= 2 else 20) * 1024 * 1024
+    cap_rows = (budget - 2 * bn * bk * elt) // (2 * bk * elt + 12 * bn)
     cap_rows = min(max((cap_rows // 128) * 128, 512), 1792)
     bm = bounds._least_waste(bounds.round_up(m, 128), cap_rows, 128)
     return bm, bn, bk
@@ -238,4 +262,57 @@ def mmult_bf16_bt(a16, bt16, c, *, bm: int | None = None,
         ),
         interpret=default_interpret(interpret),
     )(a16, bt16, c)
+    return bounds.crop(out, m, n)
+
+
+def prepare_fp32_bt(a, b):
+    """Offline pack for rung 16: B transposed (N, K), both fp32."""
+    return (a, jnp.swapaxes(b, 0, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk",
+                                             "interpret"))
+def mmult_fp32_bt(a, bt, c, *, bm: int | None = None,
+                  bn: int | None = None, bk: int | None = None,
+                  interpret: bool | None = None):
+    """Rung 16 — the fp32 summit: the rung-14 recipe at HIGHEST
+    precision (6-pass bf16, the MXU's only true-fp32 path). Measured
+    v5e 31.9/32.1 TFLOPS at p=2048/4096 vs the fp32 vendor dot's
+    29.4/29.9 — the third and last vendor bar of the ladder beaten
+    with the same two mechanisms (aliased C + B^T pack)."""
+    m, n = c.shape
+    abm, abn, abk = choose_blocks_bf16_bt(m, n, a.shape[1], elt=4)
+    bm, bn, bk = bm or abm, bn or abn, bk or abk
+    a = bounds.pad_dim(bounds.pad_dim(a, 0, bm), 1, bk)
+    bt = bounds.pad_dim(bounds.pad_dim(bt, 0, bn), 1, bk)
+    c = bounds.pad_dim(bounds.pad_dim(c, 0, bm), 1, bn)
+    mp, kp = a.shape
+    np_ = bt.shape[0]
+    out = pl.pallas_call(
+        _make_kernel_bt(jax.lax.Precision.HIGHEST),
+        grid=(mp // bm, np_ // bn, kp // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bk), lambda i, j, kk: (j, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=(mp * kp + kp * np_) * 4 + 2 * mp * np_ * 4,
+            transcendentals=0,
+        ),
+        interpret=default_interpret(interpret),
+    )(a, bt, c)
     return bounds.crop(out, m, n)

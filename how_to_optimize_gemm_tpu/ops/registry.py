@@ -302,6 +302,23 @@ _register(Rung(
         "beaten at every sweep size"))
 
 
+def _fp32_bt_effective(ops):
+    a, bt = ops
+    return a, jnp.swapaxes(bt, 0, 1)
+
+
+_register(Rung(
+    name="16_packed_alias_fp32", dtype="fp32",
+    run=lambda a, bt, c, **kw: pallas_tuned.mmult_fp32_bt(a, bt, c,
+                                                          **kw),
+    prepare=pallas_tuned.prepare_fp32_bt, effective=_fp32_bt_effective,
+    gate_rel=1e-4,
+    doc="THE fp32 SUMMIT (round 2): the rung-14 recipe at HIGHEST "
+        "precision — 31.9/32.1 TFLOPS at p=2048/4096 vs the fp32 "
+        "vendor dot's 29.4/29.9. With rungs 14 and 15, all three "
+        "vendor bars of the ladder are beaten by hand kernels"))
+
+
 _register(Rung(
     name="07_pallas_int4", dtype="int4",
     run=_int4_run,

@@ -42,6 +42,7 @@ LADDER_ORDER = [
     ("13_tiled_resident_int8", "int8"),
     ("14_packed_alias_int8", "int8"),
     ("15_packed_alias_bf16", "bf16"),
+    ("16_packed_alias_fp32", "fp32"),
 ]
 
 HEADLINE = ["06v_xla_int8", "06_pallas_int8", "07b_pallas_w4a8",
@@ -81,6 +82,15 @@ def generate(outputs="outputs", save_dir="figures") -> list[str]:
         dst = save / "ladder_bf16_family.png"
         plot_mfiles(bf16, save=str(dst), roofline="bf16",
                     title="bf16 ladder vs the XLA vendor bar")
+        written.append(str(dst))
+
+    fp32 = [mfile_of(n) for n in ("01_xla_fp32", "04_pallas_tuned_fp32",
+                                  "16_packed_alias_fp32")]
+    fp32 = [p for p in fp32 if p is not None]
+    if len(fp32) >= 2:
+        dst = save / "ladder_fp32_family.png"
+        plot_mfiles(fp32, save=str(dst), roofline="fp32",
+                    title="fp32 ladder vs the XLA vendor bar")
         written.append(str(dst))
     return written
 
