@@ -30,15 +30,19 @@ the reference's negative rungs, ``cuda/MMult_cuda_10.cu:62-67``):
     XLA int8 dot (the vendor bar, rung 06v)           360
     VMEM-resident acc+=dot probe (same shapes)        389
 
-Rung 12/13's joint discovery: it is not the slicing — ANY config whose
-total VMEM footprint exceeds ~16 MB runs the MXU slower (2048^2 auto
-tiles ~200, resident variants 218-228, asymmetric 512x1024 manual tiles
-~265), while every <=16 MB config lands 260-294. The fast window matches
-Mosaic's default scoped-vmem limit; v5e's larger physical VMEM is
-evidently not uniform. Consequence: traffic-reduction schemes that grow
-the working set cannot beat the streaming rungs, and the remaining gap
-to the XLA emitter (275 vs 360 at p=4096; we WIN at p=2048, 294 vs 270)
-is scheduling inside the <=16 MB regime, not blocking.
+Rung 12/13's round-1 reading was a ">16 MB VMEM law": every >16 MB
+config regressed, every <=16 MB config landed 260-294, and the gap to
+the XLA emitter (275 vs 360 at p=4096) was attributed to scheduling
+inside that window. ROUND 2 REVISED THIS: rung 14
+(``pallas_int8._kernel_bt``) runs 27.5 MB streaming footprints fast —
+what actually regressed 12/13 was resident-operand slicing, and what
+capped p=4096 was the auto-pipeliner failing to overlap the C-in/out
+streams once a kernel has five buffered streams (measured by stream
+ablation; ``input_output_aliases`` alone took 275 -> 338 TOPS). The
+open problem this docstring used to end on is closed: rung 14 beats
+the vendor dot at p=2560-4096. These manual rungs stay on the ladder
+as the honest record of the campaign that motivated the
+instrumentation.
 
 Lessons the ladder records: (a) a conditional set-vs-add in the K loop
 makes Mosaic materialize a (bm, bn) int32 temp (+4 MB, one copy pass per
