@@ -187,15 +187,28 @@ def _route_flash(use_pallas, s: int, dh: int) -> bool:
     return bool(enabled) and s >= 512 and dh in (64, 128)
 
 
-def _route_decode(use_pallas, t: int, dh: int, kvh: int) -> bool:
+def _route_decode(use_pallas, t: int, dh: int, kvh: int,
+                  batch: int = 8, kv8: bool = False) -> bool:
     """Decode-attention routing. GQA widths (kvh*dh <= 1024, 128-lane
     multiple) ride the fused-head v4 kernel; wide-MHA (kvh*dh > 1024)
     rides the per-head v3 kernel, which needs dh == 128 for its cache
     DMA slices. Everything else (e.g. wide dh=64 MHA) decodes eagerly
-    — see pallas_decode_attention._kernel_v4/_kernel_v3."""
+    — see pallas_decode_attention._kernel_v4/_kernel_v3.
+
+    Cost-based threshold (measured, round 2): eager's cost is one
+    full-cache read per step, so the deciding quantity is CACHE BYTES.
+    d2048/22L/batch8 int8: 16.8 MB/layer (T=2048) -> eager wins
+    (2374 vs 2101 tok/s); 33.5 MB (T=4096) -> paged wins (1828 vs
+    1515), lead growing with T (round 1: 2559 vs 1094 at T=8192).
+    bf16 caches route paged from ~24 MB/layer; KV8 caches route paged
+    at any size — their eager path materializes a dequantized cache
+    copy every step. Wide-MHA models (e.g. 7B: 67 MB/layer at batch 2)
+    stay paged at every practical length."""
     w = kvh * dh
     kernel_ok = (w % 128 == 0 and w <= 1024) or dh == 128
-    return _route_flash(use_pallas, t, dh) and kernel_ok
+    cache_bytes = batch * t * w * 2 * 2          # bf16 K + V
+    worth_it = kv8 or cache_bytes >= 24 * 1024 * 1024
+    return _route_flash(use_pallas, t, dh) and kernel_ok and worth_it
 
 
 def _update_cache(cache, new, pos, write_mask=None):
@@ -272,7 +285,8 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
             else:
                 causal = jnp.tril(jnp.ones((s, s), bool))
                 attn = _attention(q, k, v, causal)
-        elif s == 1 and _route_decode(use_pallas, t, dh, qk.shape[2]):
+        elif s == 1 and _route_decode(use_pallas, t, dh, qk.shape[2],
+                                      batch=qk.shape[0], kv8=True):
             from how_to_optimize_gemm_tpu.ops.pallas_decode_attention \
                 import decode_attention_q8
             lengths = (pos if jnp.ndim(pos) else jnp.full(
@@ -333,7 +347,8 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
                 causal = jnp.tril(jnp.ones((s, s), bool))
                 attn = _attention(q, k, v, causal)
         elif s == 1 and _route_decode(use_pallas, t, dh,
-                                      k_cache.shape[2]):
+                                      k_cache.shape[2],
+                                      batch=k_cache.shape[0]):
             # dh == 128: the kernel's manual cache DMA needs a full-128
             # lane dim; dh == 64 rides the head-pairing cache view
             # (round 2 — two kv heads per 128-lane row, even kvh only).

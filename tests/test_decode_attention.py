@@ -79,9 +79,16 @@ def test_dh64_pairing_matches_dh128_structure():
     dh=128 path (round 2 — removes the dh=64 eager fallback)."""
     from how_to_optimize_gemm_tpu.models.llama import _route_decode
 
-    assert _route_decode(True, 2048, 128, 32)
-    assert _route_decode(True, 2048, 64, 4)
-    assert not _route_decode(True, 2048, 64, 3)   # odd kvh -> eager
+    assert _route_decode(True, 4096, 128, 32)
+    assert _route_decode(True, 4096, 64, 4)
+    assert not _route_decode(True, 4096, 64, 3)   # odd kvh -> eager
+    # cost threshold (measured): routing follows CACHE BYTES —
+    # small bf16 caches decode eagerly, big ones (wide MHA, long T,
+    # large batch) and ALL KV8 caches route paged
+    assert not _route_decode(True, 2048, 64, 4, batch=8)   # 16.8 MB
+    assert _route_decode(True, 4096, 64, 4, batch=8)       # 33.5 MB
+    assert _route_decode(True, 2048, 128, 32, batch=2)     # 7B: 67 MB
+    assert _route_decode(True, 2048, 64, 4, batch=8, kv8=True)
 
     b, t, h, kvh, d = 2, 128, 8, 4, 64
     kq, kk, kv = jax.random.split(jax.random.PRNGKey(9), 3)

@@ -165,9 +165,9 @@ def test_routing_edge_cases_fall_back_not_crash():
 
     # wide dh=64 MHA: kvh*dh = 32*64 = 2048 > 1024 -> eager route
     from how_to_optimize_gemm_tpu.models.llama import _route_decode
-    assert not _route_decode(True, 2048, 64, 32)
-    assert _route_decode(True, 2048, 64, 4)        # GQA width: v4
-    assert _route_decode(True, 2048, 128, 32)      # wide MHA d=128: v3
+    assert not _route_decode(True, 4096, 64, 32)   # wide dh=64: eager
+    assert _route_decode(True, 4096, 64, 4)        # GQA width: v4
+    assert _route_decode(True, 4096, 128, 32)      # wide MHA d=128: v3
 
     # odd-S flash_train: loss_fn with flash_train must not crash at
     # s=520 (routes to eager autodiff)
