@@ -306,10 +306,10 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
                              use_pallas)
         return x, (qk, sk, qv, sv)
     if kv is None:
-        if flash_train and _route_flash(True, s, dh) and s % 512 == 0:
-            # differentiable flash path (training long-context); the
-            # TRAIN kernels still require block-divisible S (only the
-            # inference forward gained pad+mask in round 2) — odd S
+        if flash_train and _route_flash(True, s, dh):
+            # differentiable flash path (training long-context); any S
+            # (round 2): mha_flash_train pads outside its custom VJP
+            # and masks padded keys with t_real, so odd S no longer
             # falls back to eager autodiff
             from how_to_optimize_gemm_tpu.ops.pallas_attention import (
                 mha_flash_train)

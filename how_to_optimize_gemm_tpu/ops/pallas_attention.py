@@ -231,13 +231,23 @@ def mha_flash(q, k, v, *, causal: bool = True,
 # ---------------------------------------------------------- training VJP
 
 def _fwd_kernel_lse(bq: int, bk: int, ts_len: int, scale: float,
-                    causal: bool, t_total: int, nts: int):
+                    causal: bool, t_total: int, nts: int,
+                    t_real: int | None = None):
     """Forward kernel that also emits the logsumexp rows the backward
     pass recomputes attention against. Self-attention only (S == T);
     the VJP wrapper asserts it. K/V super-block streaming + the
     scratchless single-strip path, exactly like ``_stream_kernel``
-    (round 2) — trainable S no longer VMEM-bounded by this pass."""
+    (round 2) — trainable S no longer VMEM-bounded by this pass.
+
+    t_real < t_total means the operands were zero-padded to block
+    multiples (odd-S training, round 2): key positions >= t_real are
+    masked to NEG_INF so padded zero-keys never enter the softmax.
+    Padded QUERY rows need no kernel handling — padding happens
+    outside the custom VJP, so autodiff delivers do == 0 for them and
+    their gradient contributions vanish (see mha_flash_train)."""
     nsub = ts_len // bk
+    t_real = t_total if t_real is None else t_real
+    pad_keys = t_real < t_total
 
     def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *scratch):
         qi = pl.program_id(2)
@@ -263,10 +273,13 @@ def _fwd_kernel_lse(bq: int, bk: int, ts_len: int, scale: float,
             s = jax.lax.dot_general(
                 q, k_blk.astype(jnp.float32), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            if causal:
+            if causal or pad_keys:
                 k_pos = base + tt * bk + jax.lax.broadcasted_iota(
                     jnp.int32, (1, bk), 1)
-                s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+                mask = (k_pos <= q_pos) if causal else (k_pos >= 0)
+                if pad_keys:
+                    mask = jnp.logical_and(mask, k_pos < t_real)
+                s = jnp.where(mask, s, NEG_INF)
             m_blk = jnp.max(s, axis=-1, keepdims=True)
             m_new = jnp.maximum(m, m_blk)
             alpha = jnp.exp(m - m_new)
@@ -280,7 +293,7 @@ def _fwd_kernel_lse(bq: int, bk: int, ts_len: int, scale: float,
         if causal:
             hi_global = qi * bq + bq - 1
         else:
-            hi_global = t_total - 1
+            hi_global = t_real - 1
         hi = jnp.clip((hi_global - base) // bk + 1, 0, nsub)
         if nts > 1:
             carry = (acc[:], m_sc[:, :1], l_sc[:, :1])
@@ -312,13 +325,21 @@ def _fwd_kernel_lse(bq: int, bk: int, ts_len: int, scale: float,
 
 
 def _bwd_dq_kernel(bq: int, bk: int, ts_len: int, scale: float,
-                   causal: bool, t_total: int, nts: int):
+                   causal: bool, t_total: int, nts: int,
+                   t_real: int | None = None):
     """dq pass with super-block-streamed K/V (round 2): dq accumulates
     in VMEM scratch across the sequential tsi steps, so this pass no
     longer bounds trainable S by VMEM (it used to hold full-T K/V
     strips). Single-strip path stays scratchless (the Mosaic
-    scratch-carry penalty — see _stream_kernel)."""
+    scratch-carry penalty — see _stream_kernel).
+
+    t_real masks padded key columns (odd-S training): without it a
+    padded zero-key scores s = 0, giving p = exp(-lse) != 0 and a
+    spurious dq contribution for every REAL query row in the
+    non-causal case."""
     nsub = ts_len // bk
+    t_real = t_total if t_real is None else t_real
+    pad_keys = t_real < t_total
 
     def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                *scratch):
@@ -345,10 +366,13 @@ def _bwd_dq_kernel(bq: int, bk: int, ts_len: int, scale: float,
             s = jax.lax.dot_general(
                 q, k_blk, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            if causal:
+            if causal or pad_keys:
                 k_pos = base + tt * bk + jax.lax.broadcasted_iota(
                     jnp.int32, (1, bk), 1)
-                s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+                mask = (k_pos <= q_pos) if causal else (k_pos >= 0)
+                if pad_keys:
+                    mask = jnp.logical_and(mask, k_pos < t_real)
+                s = jnp.where(mask, s, NEG_INF)
             p = jnp.exp(s - lse)                         # (bq, bk)
             dp = jax.lax.dot_general(
                 do, v_blk, (((1,), (1,)), ((), ())),
@@ -361,7 +385,7 @@ def _bwd_dq_kernel(bq: int, bk: int, ts_len: int, scale: float,
         if causal:
             hi_global = qi * bq + bq - 1
         else:
-            hi_global = t_total - 1
+            hi_global = t_real - 1
         hi = jnp.clip((hi_global - base) // bk + 1, 0, nsub)
         dq0 = dq_acc[:] if nts > 1 else jnp.zeros((bq, d), jnp.float32)
         dq = jax.lax.fori_loop(0, hi, body, dq0)
@@ -378,8 +402,11 @@ def _bwd_dq_kernel(bq: int, bk: int, ts_len: int, scale: float,
 
 
 def _bwd_dkv_kernel(bq: int, bk: int, rep: int, scale: float,
-                    causal: bool, s_total: int):
+                    causal: bool, s_total: int,
+                    t_real: int | None = None):
     nq = s_total // bq
+    t_real = s_total if t_real is None else t_real
+    pad_keys = t_real < s_total
 
     def kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                dk_ref, dv_ref, dk_acc, dv_acc):
@@ -411,10 +438,16 @@ def _bwd_dkv_kernel(bq: int, bk: int, rep: int, scale: float,
                 s_ = jax.lax.dot_general(
                     q, k_blk, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)  # (bq, bk)
-                if causal:
+                if causal or pad_keys:
                     q_pos = qi * bq + jax.lax.broadcasted_iota(
                         jnp.int32, (bq, 1), 0)
-                    s_ = jnp.where(k_pos <= q_pos, s_, NEG_INF)
+                    mask = (k_pos <= q_pos) if causal else (k_pos >= 0)
+                    if pad_keys:
+                        # padded key columns: p would be exp(-lse) != 0
+                        # (zero-key score is 0, not -inf) — masked so
+                        # padded dk/dv rows stay exactly zero
+                        mask = jnp.logical_and(mask, k_pos < t_real)
+                    s_ = jnp.where(mask, s_, NEG_INF)
                 pmat = jnp.exp(s_ - lse)
                 dv = dv + jax.lax.dot_general(
                     pmat, do, (((0,), (0,)), ((), ())),
@@ -437,7 +470,7 @@ def _bwd_dkv_kernel(bq: int, bk: int, rep: int, scale: float,
     return kernel
 
 
-def _flash_fwd_lse(q, k, v, causal, bq, bk, interpret):
+def _flash_fwd_lse(q, k, v, causal, bq, bk, interpret, t_real=None):
     b, h, s, d = q.shape
     _, kvh, t, _ = k.shape
     rep = h // kvh
@@ -457,7 +490,7 @@ def _flash_fwd_lse(q, k, v, causal, bq, bk, interpret):
         def kv_index(bi, hi, qi, tsi, rep=rep):
             return (bi, hi // rep, tsi, 0)
     out, lse = pl.pallas_call(
-        _fwd_kernel_lse(bq, bk, ts_len, scale, causal, t, nts),
+        _fwd_kernel_lse(bq, bk, ts_len, scale, causal, t, nts, t_real),
         grid=(b, h, s // bq, nts),
         in_specs=[
             pl.BlockSpec((1, 1, bq, d),
@@ -494,7 +527,8 @@ def _flash_fwd_lse(q, k, v, causal, bq, bk, interpret):
     return out, lse
 
 
-def _flash_bwd(q, k, v, o, lse, do, causal, bq, bk, interpret):
+def _flash_bwd(q, k, v, o, lse, do, causal, bq, bk, interpret,
+               t_real=None):
     b, h, s, d = q.shape
     _, kvh, t, _ = k.shape
     rep = h // kvh
@@ -521,7 +555,7 @@ def _flash_bwd(q, k, v, o, lse, do, causal, bq, bk, interpret):
         return (bi, hi, qi, 0)
 
     dq = pl.pallas_call(
-        _bwd_dq_kernel(bq, bk, ts_len, scale, causal, t, nts),
+        _bwd_dq_kernel(bq, bk, ts_len, scale, causal, t, nts, t_real),
         grid=(b, h, s // bq, nts),
         in_specs=[
             pl.BlockSpec((1, 1, bq, d), q_index,
@@ -561,7 +595,7 @@ def _flash_bwd(q, k, v, o, lse, do, causal, bq, bk, interpret):
     # unbounded (the previous design held (rep, S, d) q/do strips in VMEM
     # and capped S at ~4k).
     dk, dv = pl.pallas_call(
-        _bwd_dkv_kernel(bq, bk, rep, scale, causal, s),
+        _bwd_dkv_kernel(bq, bk, rep, scale, causal, s, t_real),
         grid=(b, kvh, t // bk, s // bq),
         in_specs=[
             pl.BlockSpec((1, 1, rep, bq, d),
@@ -608,9 +642,10 @@ def _flash_bwd(q, k, v, o, lse, do, causal, bq, bk, interpret):
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def flash_attention_train(q, k, v, causal: bool = True, bq: int = 512,
-                          bk: int = 512, interpret: bool | None = None):
+                          bk: int = 512, interpret: bool | None = None,
+                          t_real: int | None = None):
     """Differentiable flash attention (training path).
 
     Same contract as ``flash_attention`` plus a custom VJP: the backward
@@ -619,28 +654,35 @@ def flash_attention_train(q, k, v, causal: bool = True, bq: int = 512,
     gridded like the forward and a dk/dv pass on a (b, g, ki, qi) grid
     whose dk/dv output blocks are revisited across qi and accumulated in
     VMEM scratch: blocks stream, nothing scales with S, trainable
-    sequence length is unbounded."""
+    sequence length is unbounded.
+
+    Shapes must be block multiples; t_real < S declares the tail as
+    zero padding (key positions >= t_real are masked in all three
+    kernels). Callers with odd S should pad OUTSIDE this function so
+    autodiff zero-pads the incoming cotangent — mha_flash_train does
+    exactly that (round 2: odd-S training no longer falls back to
+    eager autodiff)."""
     bq = min(bq, q.shape[2])
     bk = min(bk, k.shape[2])
-    out, _ = _flash_fwd_lse(q, k, v, causal, bq, bk, interpret)
+    out, _ = _flash_fwd_lse(q, k, v, causal, bq, bk, interpret, t_real)
     return out
 
 
-def _train_fwd(q, k, v, causal, bq, bk, interpret):
+def _train_fwd(q, k, v, causal, bq, bk, interpret, t_real=None):
     assert q.shape[2] == k.shape[2], \
         "flash_attention_train is self-attention only (S == T)"
     bq = min(bq, q.shape[2])
     bk = min(bk, k.shape[2])
-    out, lse = _flash_fwd_lse(q, k, v, causal, bq, bk, interpret)
+    out, lse = _flash_fwd_lse(q, k, v, causal, bq, bk, interpret, t_real)
     return out, (q, k, v, out, lse)
 
 
-def _train_bwd(causal, bq, bk, interpret, res, do):
+def _train_bwd(causal, bq, bk, interpret, t_real, res, do):
     q, k, v, out, lse = res
     bq = min(bq, q.shape[2])
     bk = min(bk, k.shape[2])
     dq, dk, dv = _flash_bwd(q, k, v, out, lse, do, causal, bq, bk,
-                            interpret)
+                            interpret, t_real)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
@@ -649,10 +691,26 @@ flash_attention_train.defvjp(_train_fwd, _train_bwd)
 
 def mha_flash_train(q, k, v, *, causal: bool = True,
                     interpret: bool | None = None):
-    """Differentiable model-layout wrapper (see mha_flash)."""
+    """Differentiable model-layout wrapper (see mha_flash).
+
+    Any S (round 2): odd lengths are zero-padded to a block multiple
+    HERE, outside the custom VJP — jnp.pad's own VJP then delivers
+    do == 0 for padded query rows (their gradient contributions vanish
+    identically) and the slice below crops dq back. t_real masks the
+    padded key columns inside the kernels."""
     b, s, h, d = q.shape
+    blk = 512 if s >= 512 else 128
+    sp = bounds.round_up(s, blk)
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2).astype(jnp.bfloat16)
     vt = jnp.swapaxes(v, 1, 2).astype(jnp.bfloat16)
-    out = flash_attention_train(qt, kt, vt, causal, 512, 512, interpret)
+    if sp != s:
+        qt = bounds.pad_dim(qt, 2, blk)
+        kt = bounds.pad_dim(kt, 2, blk)
+        vt = bounds.pad_dim(vt, 2, blk)
+        out = flash_attention_train(qt, kt, vt, causal, blk, blk,
+                                    interpret, s)[:, :, :s]
+    else:
+        out = flash_attention_train(qt, kt, vt, causal, 512, 512,
+                                    interpret)
     return jnp.swapaxes(out, 1, 2).reshape(b, s, h * d).astype(jnp.float32)

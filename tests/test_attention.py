@@ -103,6 +103,50 @@ def test_flash_train_grads_match_eager():
                                    err_msg=f"d{name} mismatch")
 
 
+@pytest.mark.parametrize("s,causal", [(200, True), (200, False),
+                                      (130, True)])
+def test_flash_train_odd_s_grads_match_eager(s, causal):
+    """Round 2: odd-S TRAINING — mha_flash_train pads outside its
+    custom VJP (autodiff delivers do == 0 for padded query rows) and
+    masks padded key columns with t_real. Gradients must match eager
+    autodiff exactly as in the block-divisible case. The non-causal
+    case is the sharp one: without the t_real key mask, a padded
+    zero-key scores 0 (not -inf) and corrupts every real row."""
+    from how_to_optimize_gemm_tpu.ops.pallas_attention import (
+        mha_flash_train)
+
+    b, h, kvh, d = 1, 4, 2, 64
+    key = jax.random.PRNGKey(s * 2 + causal)
+    kq, kk, kv, kw = jax.random.split(key, 4)
+    # model layout: (B, S, H, D)
+    q = jax.random.normal(kq, (b, s, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, s, kvh, d), jnp.float32)
+    v = jax.random.normal(kv, (b, s, kvh, d), jnp.float32)
+    w = jax.random.normal(kw, (b, s, h * d), jnp.float32)
+
+    def eager(q, k, v):
+        mask = (jnp.arange(s)[None, :] <= jnp.arange(s)[:, None]
+                if causal else None)
+        return _attention(q.astype(jnp.float32), k, v, mask)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(mha_flash_train(q, k, v, causal=causal,
+                                       interpret=True) * w)
+
+    def loss_eager(q, k, v):
+        return jnp.sum(eager(q, k, v) * w)
+
+    lf, gf = jax.value_and_grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    le, ge = jax.value_and_grad(loss_eager, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(lf), float(le), rtol=1e-2)
+    for a, bb, name in zip(gf, ge, "qkv"):
+        scale = np.max(np.abs(np.asarray(bb))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(bb) / scale,
+                                   rtol=0, atol=4e-2,
+                                   err_msg=f"d{name} mismatch s={s}")
+
+
 def test_flash_causal_with_history_prefix():
     """T > S: queries are the LAST S positions of a T-long context
     (chunked prefill against cached history) — the causal mask must

@@ -156,12 +156,13 @@ def test_kv8_cache_decode_close_to_bf16():
 
 
 def test_routing_edge_cases_fall_back_not_crash():
-    """Round-2 review regressions: odd-S training must fall back to
-    eager (the TRAIN kernels require block-divisible S), and wide
-    dh=64 MHA decode must fall back to eager (neither decode kernel
-    supports kvh*dh > 1024 with dh=64)."""
+    """Routing edge cases: wide dh=64 MHA decode must fall back to
+    eager (neither decode kernel supports kvh*dh > 1024 with dh=64);
+    odd-S flash training must route to the PADDED flash kernels
+    (round 2: mha_flash_train pads outside its VJP) and match eager."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     # wide dh=64 MHA: kvh*dh = 32*64 = 2048 > 1024 -> eager route
     from how_to_optimize_gemm_tpu.models.llama import _route_decode
@@ -169,15 +170,21 @@ def test_routing_edge_cases_fall_back_not_crash():
     assert _route_decode(True, 4096, 64, 4)        # GQA width: v4
     assert _route_decode(True, 4096, 128, 32)      # wide MHA d=128: v3
 
-    # odd-S flash_train: loss_fn with flash_train must not crash at
-    # s=520 (routes to eager autodiff)
-    cfg = llama.LlamaConfig(vocab=64, d_model=64, n_layers=1, n_heads=2,
+    # odd-S flash_train: dh=64 so flash actually routes; S=520 pads to
+    # 1024 inside mha_flash_train. Loss and grads must match eager.
+    cfg = llama.LlamaConfig(vocab=64, d_model=128, n_layers=1, n_heads=2,
                             n_kv_heads=2, d_ff=128, max_seq=520,
                             weight_kind="fp32")
     params = llama.init_params(jax.random.PRNGKey(0), cfg)
-    tokens = jnp.ones((1, 520), jnp.int32)
-    loss, grads = jax.value_and_grad(
-        lambda fl: llama.loss_fn({**params, **fl}, cfg, tokens,
-                                 use_pallas=False, flash_train=True))(
-        {k: v for k, v in params.items() if k == "tok_emb"})
-    assert jnp.isfinite(loss)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (1, 520), 0,
+                                cfg.vocab)
+    le, ge = jax.value_and_grad(llama.loss_fn)(
+        params, cfg, tokens, False, False, False)
+    lf, gf = jax.value_and_grad(llama.loss_fn)(
+        params, cfg, tokens, False, False, True)
+    assert jnp.isfinite(lf)
+    np.testing.assert_allclose(float(lf), float(le), rtol=2e-2)
+    a = np.asarray(ge["layers"][0]["wq"]["fp32_w"])
+    b = np.asarray(gf["layers"][0]["wq"]["fp32_w"])
+    scale = np.max(np.abs(a)) + 1e-9
+    np.testing.assert_allclose(b / scale, a / scale, rtol=0, atol=5e-2)
