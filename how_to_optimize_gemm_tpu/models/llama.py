@@ -191,9 +191,10 @@ def _route_decode(use_pallas, t: int, dh: int, kvh: int,
                   batch: int = 8, kv8: bool = False) -> bool:
     """Decode-attention routing. GQA widths (kvh*dh <= 1024, 128-lane
     multiple) ride the fused-head v4 kernel; wide-MHA (kvh*dh > 1024)
-    rides the per-head v3 kernel, which needs dh == 128 for its cache
-    DMA slices. Everything else (e.g. wide dh=64 MHA) decodes eagerly
-    — see pallas_decode_attention._kernel_v4/_kernel_v3.
+    rides the per-head v3 kernel — dh == 128 directly, dh == 64 via
+    the head-pairing cache view (even kvh; round 2 — the last eager-
+    only width removed). Odd-kvh dh=64 widths still decode eagerly —
+    see pallas_decode_attention._kernel_v4/_kernel_v3/_pair_heads.
 
     Cost-based threshold (measured, round 2): eager's cost is one
     full-cache read per step, so the deciding quantity is CACHE BYTES.
@@ -205,7 +206,8 @@ def _route_decode(use_pallas, t: int, dh: int, kvh: int,
     copy every step. Wide-MHA models (e.g. 7B: 67 MB/layer at batch 2)
     stay paged at every practical length."""
     w = kvh * dh
-    kernel_ok = (w % 128 == 0 and w <= 1024) or dh == 128
+    kernel_ok = (w % 128 == 0 and w <= 1024) or (w > 1024 and (
+        dh == 128 or (dh == 64 and kvh % 2 == 0)))
     cache_bytes = batch * t * w * 2 * 2          # bf16 K + V
     worth_it = kv8 or cache_bytes >= 24 * 1024 * 1024
     return _route_flash(use_pallas, t, dh) and kernel_ok and worth_it

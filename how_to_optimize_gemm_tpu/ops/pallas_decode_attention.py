@@ -49,17 +49,46 @@ def _divisor_block(t: int, cap: int) -> int:
     return t
 
 
-def _decode_attention_v3(q, k_cache, v_cache, lengths, *, bk, interpret):
+def _pair_heads(qg, d):
+    """Head-pairing for wide dh=64 models (round 2): the cache's two
+    adjacent 64-lane heads live in one 128-lane row (a FREE contiguous
+    reshape); each query row is zero-extended into its half-lane band,
+    so the per-pair dot computes both heads' scores exactly (the zero
+    band annihilates the cross terms — the _kernel_v4 block-structure
+    trick at pair granularity). qg (b, kvh, rep, d) ->
+    (b, kvh//2, 2*rep, 2*d); rows [0, rep) are head 2p (band 0),
+    rows [rep, 2*rep) head 2p+1 (band d..2d)."""
+    b, kvh, rep, _ = qg.shape
+    q2 = qg.reshape(b, kvh // 2, 2, rep, d)
+    z = jnp.zeros_like(q2[:, :, 0])
+    top = jnp.concatenate([q2[:, :, 0], z], axis=-1)
+    bot = jnp.concatenate([z, q2[:, :, 1]], axis=-1)
+    return jnp.concatenate([top, bot], axis=2)
+
+
+def _unpair_bands(out, rep, d):
+    """Inverse of _pair_heads on the kernel's PV output: keep each
+    row-group's own lane band ((b, kvh2, 2*rep, 2*d) ->
+    (b, kvh2 * 2 * rep * d) in original head order)."""
+    b, kvh2, rep2, _ = out.shape
+    o = out.reshape(b, kvh2, 2, rep, 2 * d)
+    res = jnp.stack([o[:, :, 0, :, :d], o[:, :, 1, :, d:]], axis=2)
+    return res.reshape(b, kvh2 * 2 * rep * d)
+
+
+def _decode_attention_v3(qg, k_cache, v_cache, lengths, *, scale, bk,
+                         interpret):
     """v3 wrapper (wide-MHA path, d == 128): one program per slot,
-    per-head dots, dynamic fori chunk walk."""
-    b, h, d = q.shape
-    _, t, kvh, _ = k_cache.shape
-    rep = h // kvh
+    per-head dots, dynamic fori chunk walk. qg is GROUPED
+    (b, kvh, rep, d) — the caller reshapes (and band-extracts, for the
+    dh=64 paired view, whose TRUE head dim sets scale, not the paired
+    lane width); returns (b, kvh, rep, d)."""
+    b, kvh, rep, d = qg.shape
+    t = k_cache.shape[1]
     elt = jnp.dtype(k_cache.dtype).itemsize
     budget = 6 * 1024 * 1024
     bk_cap = max(budget // (4 * kvh * d * elt) // 128 * 128, 128)
     bk = _divisor_block(t, min(bk, bk_cap, t))
-    qg = q.reshape(b, kvh, rep, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
@@ -76,8 +105,8 @@ def _decode_attention_v3(q, k_cache, v_cache, lengths, *, bk, interpret):
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
-    out = pl.pallas_call(
-        _kernel_v3(bk, kvh, rep, d, t, d ** -0.5),
+    return pl.pallas_call(
+        _kernel_v3(bk, kvh, rep, d, t, scale),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kvh, rep, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -85,7 +114,6 @@ def _decode_attention_v3(q, k_cache, v_cache, lengths, *, bk, interpret):
         ),
         interpret=default_interpret(interpret),
     )(lengths.astype(jnp.int32), qg, k_cache, v_cache)
-    return out.reshape(b, h * d)
 
 
 def _kernel_v3(bk: int, kvh: int, rep: int, d: int, t_total: int,
@@ -328,9 +356,23 @@ def decode_attention(q, k_cache, v_cache, lengths, *, bk: int = 512,
         # width (97% zeros at kvh=32) and compile time; the per-slot
         # per-head v3 kernel serves these — their decode is weight-
         # stream-bound, so v3's per-chunk overhead is immaterial.
+        if d == 64:
+            # wide dh=64 MHA (e.g. OPT-1.3B class, 32 heads x 64):
+            # head-pairing view — the last eager fallback removed
+            # (round 2). scale uses the TRUE head dim (64).
+            assert kvh % 2 == 0, (kvh, d)
+            k2 = k_cache.reshape(b, t, kvh // 2, 128)
+            v2 = v_cache.reshape(b, t, kvh // 2, 128)
+            q_ext = _pair_heads(q.reshape(b, kvh, rep, d), d)
+            out = _decode_attention_v3(q_ext, k2, v2, lengths,
+                                       scale=d ** -0.5, bk=bk,
+                                       interpret=interpret)
+            return _unpair_bands(out, rep, d)
         assert d == 128, (kvh, d)
-        return _decode_attention_v3(q, k_cache, v_cache, lengths, bk=bk,
-                                    interpret=interpret)
+        out = _decode_attention_v3(q.reshape(b, kvh, rep, d), k_cache,
+                                   v_cache, lengths, scale=d ** -0.5,
+                                   bk=bk, interpret=interpret)
+        return out.reshape(b, h * d)
     # fused-head 2D cache view (free contiguous reshape; see _kernel_v4)
     k2 = k_cache.reshape(b, t, w)
     v2 = v_cache.reshape(b, t, w)
@@ -377,16 +419,16 @@ def decode_attention(q, k_cache, v_cache, lengths, *, bk: int = 512,
 
 # ------------------------------------------------------- KV8 cache variant
 
-def _decode_attention_q8_v3(q, qk, sk, qv, sv, lengths, *, bk,
-                            interpret):
-    """v3 KV8 wrapper (wide-MHA path, d == 128)."""
-    b, h, d = q.shape
-    _, t, kvh, _ = qk.shape
-    rep = h // kvh
+def _decode_attention_q8_v3(qg, qk, sk, qv, sv, lengths, *, scale, bk,
+                            interpret, paired=False):
+    """v3 KV8 wrapper (wide-MHA path, d == 128). qg GROUPED
+    (b, kvh, rep, d); paired = dh=64 head-pairing view (see
+    _kernel_q8_v3); returns (b, kvh, rep, d)."""
+    b, kvh, rep, d = qg.shape
+    t = qk.shape[1]
     budget = 6 * 1024 * 1024
     bk_cap = max(budget // (4 * kvh * d) // 128 * 128, 128)
     bk = _divisor_block(t, min(bk, bk_cap, t))
-    qg = q.reshape(b, kvh, rep, d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
@@ -407,8 +449,8 @@ def _decode_attention_q8_v3(q, qk, sk, qv, sv, lengths, *, bk,
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
-    out = pl.pallas_call(
-        _kernel_q8_v3(bk, kvh, rep, d, t, d ** -0.5),
+    return pl.pallas_call(
+        _kernel_q8_v3(bk, kvh, rep, d, t, scale, paired),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kvh, rep, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -416,11 +458,14 @@ def _decode_attention_q8_v3(q, qk, sk, qv, sv, lengths, *, bk,
         ),
         interpret=default_interpret(interpret),
     )(lengths.astype(jnp.int32), qg, qk, sk, qv, sv)
-    return out.reshape(b, h * d)
 
 
 def _kernel_q8_v3(bk: int, kvh: int, rep: int, d: int, t_total: int,
-                  scale: float):
+                  scale: float, paired: bool = False):
+    """paired (dh=64 head-pairing view): 'head' g is a PAIR — its top
+    rep//2 rows belong to original head 2g (scale lane 2g), the bottom
+    rows to head 2g+1 (lane 2g+1) — so the scale row becomes a per-row
+    (rep, bk) matrix instead of a broadcast (1, bk) vector."""
     nk_max = t_total // bk
 
     def kernel(len_ref, q_ref, qk_hbm, sk_hbm, qv_hbm, sv_hbm, o_ref,
@@ -462,8 +507,23 @@ def _kernel_q8_v3(bk: int, kvh: int, rep: int, d: int, t_total: int,
             k_heads = [bufk[slot, :, g].astype(jnp.float32)
                        for g in range(kvh)]
             v_heads = [bufv[slot, :, g] for g in range(kvh)]
-            sk_rows = [bufsk[slot, :, g][None, :] for g in range(kvh)]
-            sv_rows = [bufsv[slot, :, g][None, :] for g in range(kvh)]
+            if paired:
+                half = rep // 2
+
+                def _rows(buf, g):
+                    top = buf[slot, :, 2 * g][None, :]
+                    bot = buf[slot, :, 2 * g + 1][None, :]
+                    return jnp.concatenate(
+                        [jnp.broadcast_to(top, (half, bk)),
+                         jnp.broadcast_to(bot, (half, bk))], axis=0)
+
+                sk_rows = [_rows(bufsk, g) for g in range(kvh)]
+                sv_rows = [_rows(bufsv, g) for g in range(kvh)]
+            else:
+                sk_rows = [bufsk[slot, :, g][None, :]
+                           for g in range(kvh)]
+                sv_rows = [bufsv[slot, :, g][None, :]
+                           for g in range(kvh)]
             s = jnp.stack([
                 jax.lax.dot_general(q[g], k_heads[g],
                                     (((1,), (1,)), ((), ())),
@@ -627,9 +687,24 @@ def decode_attention_q8(q, qk, sk, qv, sv, lengths, *, bk: int = 512,
         "scales must be lane-padded to 128 (pad at WRITE time, not here)"
     assert w % 128 == 0 and kvh <= 128, (kvh, d)
     if w > 1024:
+        if d == 64:
+            # wide dh=64 head-pairing view (see decode_attention); the
+            # per-(token, head) scales stay in their original lanes —
+            # the paired kernel reads lanes 2g/2g+1 per pair row-half
+            assert kvh % 2 == 0, (kvh, d)
+            k2 = qk.reshape(b, t, kvh // 2, 128)
+            v2 = qv.reshape(b, t, kvh // 2, 128)
+            q_ext = _pair_heads(q.reshape(b, kvh, rep, d), d)
+            out = _decode_attention_q8_v3(q_ext, k2, sk, v2, sv,
+                                          lengths, scale=d ** -0.5,
+                                          bk=bk, interpret=interpret,
+                                          paired=True)
+            return _unpair_bands(out, rep, d)
         assert d == 128, (kvh, d)   # wide-MHA: v3 path (see above)
-        return _decode_attention_q8_v3(q, qk, sk, qv, sv, lengths,
-                                       bk=bk, interpret=interpret)
+        out = _decode_attention_q8_v3(q.reshape(b, kvh, rep, d), qk, sk,
+                                      qv, sv, lengths, scale=d ** -0.5,
+                                      bk=bk, interpret=interpret)
+        return out.reshape(b, h * d)
     k2 = qk.reshape(b, t, w)
     v2 = qv.reshape(b, t, w)
     elt = 1  # int8 chunks dominate

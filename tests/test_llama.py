@@ -164,9 +164,10 @@ def test_routing_edge_cases_fall_back_not_crash():
     import jax.numpy as jnp
     import numpy as np
 
-    # wide dh=64 MHA: kvh*dh = 32*64 = 2048 > 1024 -> eager route
+    # wide dh=64 MHA: kvh*dh = 32*64 = 2048 > 1024 -> head-pairing v3
+    # (round 2: even kvh routes; odd kvh is the remaining eager case)
     from how_to_optimize_gemm_tpu.models.llama import _route_decode
-    assert not _route_decode(True, 4096, 64, 32)   # wide dh=64: eager
+    assert _route_decode(True, 4096, 64, 32)       # wide dh=64: paired
     assert _route_decode(True, 4096, 64, 4)        # GQA width: v4
     assert _route_decode(True, 4096, 128, 32)      # wide MHA d=128: v3
 
