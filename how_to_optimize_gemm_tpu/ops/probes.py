@@ -127,6 +127,59 @@ def mxu_throughput_gflops(size: int = 1024, n_iters: int = 90000,
     return 2.0 * size ** 3 * n_iters / best / 1e9
 
 
+def _mxu_depth_kernel(n_iters: int):
+    def kernel(x_ref, y_ref, o_ref, acc_ref):
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        def body(t, _):
+            # sign-flip keeps x loop-variant (bf16 has no xor; one VPU
+            # multiply over (m, depth) is noise next to the dot)
+            s = (1 - 2 * (t % 2)).astype(x_ref.dtype)
+            acc_ref[:] += jax.lax.dot_general(
+                x_ref[:] * s, y_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, n_iters, body, 0)
+        o_ref[:] = acc_ref[:]
+    return kernel
+
+
+def mxu_depth_gflops(depth: int = 64, size: int = 512,
+                     n_iters: int | None = None, repeats: int = 2,
+                     interpret: bool | None = None) -> float:
+    """bf16 MXU rate vs CONTRACTION DEPTH: accumulating
+    (size, depth) @ (depth, size) dots on VMEM-resident tiles.
+
+    The measurement behind the flash-attention d=64 question (round-2
+    gap list #2): the score matmul contracts over the head dim, so a
+    d=64 model feeds the MXU half its native depth. If this probe
+    reads ~half the depth-128 rate at depth 64, the kernel is MXU-
+    depth-bound and no packing scheme recovers it — block-diagonal /
+    zero-extension packings (the _kernel_v4 trick) insert exactly as
+    many zero MACs as the idle depth wastes, so useful utilization is
+    unchanged. The only true lever is head geometry (d=128 models)."""
+    if n_iters is None:
+        # ~1.5 s of device time at an assumed 160 TF bf16 ceiling
+        n_iters = max(1, int(1.5 * 160e12 / (2 * size * size * depth)))
+    x = jnp.ones((size, depth), jnp.bfloat16)
+    y = jnp.ones((depth, size), jnp.bfloat16)
+
+    @jax.jit
+    def run(x, y):
+        return pl.pallas_call(
+            _mxu_depth_kernel(n_iters),
+            out_shape=jax.ShapeDtypeStruct((size, size), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((size, size), jnp.float32)],
+            interpret=default_interpret(interpret),
+        )(x, y)
+
+    best = measure(lambda: run(x, y), repeats=repeats, warmup=1)
+    return 2.0 * size * size * depth * n_iters / best / 1e9
+
+
 def _copy_kernel(src_ref, dst_ref):
     dst_ref[:] = src_ref[:]
 
@@ -520,6 +573,9 @@ def main():
          lambda: dma_chunk_bandwidth_gbps(2048, 1024)),
         ("VMEM r+w bandwidth (VPU copy)", vmem_bandwidth_gbps),
         ("DMA issue+complete latency", dma_latency_ns),
+        ("MXU bf16 @ depth 64", lambda: mxu_depth_gflops(64)),
+        ("MXU bf16 @ depth 128", lambda: mxu_depth_gflops(128)),
+        ("MXU bf16 @ depth 512", lambda: mxu_depth_gflops(512)),
     ]:
         unit = ("ns" if "latency" in name
                 else "GB/s" if "bandwidth" in name else "GFLOPS")

@@ -18,6 +18,12 @@ def test_mxu_probe_interpret():
     assert g > 0
 
 
+def test_mxu_depth_probe_interpret():
+    g = probes.mxu_depth_gflops(depth=64, size=128, n_iters=4,
+                                repeats=1, interpret=True)
+    assert g > 0
+
+
 def test_vpu_probe_interpret():
     g = probes.vpu_peak_gflops(size=128, n_iters=4, repeats=1,
                                dependent=True, interpret=True)
