@@ -198,18 +198,19 @@ def _route_decode(use_pallas, t: int, dh: int, kvh: int,
 
     Cost-based threshold (measured, round 2): eager's cost is one
     full-cache read per step, so the deciding quantity is CACHE BYTES.
-    d2048/22L/batch8 int8: 16.8 MB/layer (T=2048) -> eager wins
-    (2374 vs 2101 tok/s); 33.5 MB (T=4096) -> paged wins (1828 vs
-    1515), lead growing with T (round 1: 2559 vs 1094 at T=8192).
-    bf16 caches route paged from ~24 MB/layer; KV8 caches route paged
-    at any size — their eager path materializes a dequantized cache
-    copy every step. Wide-MHA models (e.g. 7B: 67 MB/layer at batch 2)
-    stay paged at every practical length."""
+    d2048/22L/batch8 int8 weights: 16.8 MB/layer (T=2048) -> eager
+    wins (2374 vs 2101 tok/s); 33.5 MB (T=4096) -> paged wins (1828
+    vs 1515), lead growing with T (round 1: 2559 vs 1094 at T=8192).
+    The crossover sits at ~24 MB/layer of cache traffic. KV8 caches
+    read HALF the bytes eagerly (_attention_kv8 folds the scales into
+    int8 einsums — no dequantized copy), so their bytes are counted at
+    1 B/elt against the same crossover. Wide-MHA models (e.g. 7B:
+    67 MB/layer at batch 2) stay paged at every practical length."""
     w = kvh * dh
     kernel_ok = (w % 128 == 0 and w <= 1024) or (w > 1024 and (
         dh == 128 or (dh == 64 and kvh % 2 == 0)))
-    cache_bytes = batch * t * w * 2 * 2          # bf16 K + V
-    worth_it = kv8 or cache_bytes >= 24 * 1024 * 1024
+    cache_bytes = batch * t * w * (1 if kv8 else 2) * 2   # K + V
+    worth_it = cache_bytes >= 24 * 1024 * 1024
     return _route_flash(use_pallas, t, dh) and kernel_ok and worth_it
 
 

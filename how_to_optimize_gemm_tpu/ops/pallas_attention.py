@@ -699,7 +699,11 @@ def mha_flash_train(q, k, v, *, causal: bool = True,
     identically) and the slice below crops dq back. t_real masks the
     padded key columns inside the kernels."""
     b, s, h, d = q.shape
-    blk = 512 if s >= 512 else 128
+    # least-waste block choice (the ladder's chooser discipline): a
+    # naive 512 cap pads e.g. s=640 to 1024 — 2.56x score FLOPs; ties
+    # break toward the larger block (fewer grid steps)
+    blk = min((512, 256, 128),
+              key=lambda bb: (bounds.round_up(s, bb), -bb))
     sp = bounds.round_up(s, blk)
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2).astype(jnp.bfloat16)
@@ -711,6 +715,8 @@ def mha_flash_train(q, k, v, *, causal: bool = True,
         out = flash_attention_train(qt, kt, vt, causal, blk, blk,
                                     interpret, s)[:, :, :s]
     else:
-        out = flash_attention_train(qt, kt, vt, causal, 512, 512,
+        # s may be an exact blk multiple without being a 512 multiple
+        # (e.g. s=640, blk=128) — the chosen block must flow through
+        out = flash_attention_train(qt, kt, vt, causal, blk, blk,
                                     interpret)
     return jnp.swapaxes(out, 1, 2).reshape(b, s, h * d).astype(jnp.float32)

@@ -80,18 +80,23 @@ def mxu_peak_gflops(dtype=jnp.bfloat16, size: int = 512,
     return 2.0 * size * size * size * n_iters / best / 1e9
 
 
-def _mxu_throughput_kernel(n_iters: int, acc_dtype):
+def _mxu_throughput_kernel(n_iters: int, acc_dtype, vary=None):
+    """acc += vary(x, t) @ y on resident tiles — the throughput pattern
+    GEMM kernels actually run: independent MXU passes, unlike the
+    latency-bound serial chain of mxu_peak_gflops (func1 vs func2,
+    gflops_benchmark). vary keeps x loop-variant so nothing hoists;
+    default is xor-with-t (integer dtypes). Shared by the int8
+    throughput probe and the bf16 depth sweep so the two numbers that
+    get compared come from provably identical methodology."""
     def kernel(x_ref, y_ref, o_ref, acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
         def body(t, _):
-            # xor-with-t keeps x loop-variant (no hoisting); acc += dot
-            # is the throughput pattern GEMM kernels actually run —
-            # independent MXU passes, unlike the latency-bound serial
-            # chain of mxu_peak_gflops (func1 vs func2, gflops_benchmark).
-            xv = x_ref[:] ^ t.astype(x_ref.dtype)
-            acc_ref[:] += jnp.dot(xv, y_ref[:],
-                                  preferred_element_type=acc_dtype)
+            xv = (x_ref[:] ^ t.astype(x_ref.dtype)) if vary is None \
+                else vary(x_ref[:], t)
+            acc_ref[:] += jax.lax.dot_general(
+                xv, y_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dtype)
             return 0
 
         jax.lax.fori_loop(0, n_iters, body, 0)
@@ -127,24 +132,6 @@ def mxu_throughput_gflops(size: int = 1024, n_iters: int = 90000,
     return 2.0 * size ** 3 * n_iters / best / 1e9
 
 
-def _mxu_depth_kernel(n_iters: int):
-    def kernel(x_ref, y_ref, o_ref, acc_ref):
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-        def body(t, _):
-            # sign-flip keeps x loop-variant (bf16 has no xor; one VPU
-            # multiply over (m, depth) is noise next to the dot)
-            s = (1 - 2 * (t % 2)).astype(x_ref.dtype)
-            acc_ref[:] += jax.lax.dot_general(
-                x_ref[:] * s, y_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            return 0
-
-        jax.lax.fori_loop(0, n_iters, body, 0)
-        o_ref[:] = acc_ref[:]
-    return kernel
-
-
 def mxu_depth_gflops(depth: int = 64, size: int = 512,
                      n_iters: int | None = None, repeats: int = 2,
                      interpret: bool | None = None) -> float:
@@ -165,10 +152,14 @@ def mxu_depth_gflops(depth: int = 64, size: int = 512,
     x = jnp.ones((size, depth), jnp.bfloat16)
     y = jnp.ones((depth, size), jnp.bfloat16)
 
+    # sign-flip keeps x loop-variant (bf16 has no xor; one VPU multiply
+    # over (m, depth) is noise next to the dot)
+    vary = lambda xv, t: xv * (1 - 2 * (t % 2)).astype(xv.dtype)
+
     @jax.jit
     def run(x, y):
         return pl.pallas_call(
-            _mxu_depth_kernel(n_iters),
+            _mxu_throughput_kernel(n_iters, jnp.float32, vary),
             out_shape=jax.ShapeDtypeStruct((size, size), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -305,6 +305,9 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=256)
     ap.add_argument("--use-pallas", action="store_true", default=None)
+    ap.add_argument("--eager", action="store_true",
+                    help="force use_pallas=False (the A/B baseline for "
+                         "kernel-routing measurements)")
     ap.add_argument("--cache-kind", default="bf16",
                     choices=["bf16", "int8"],
                     help="int8 = KV8 quantized cache (half cache HBM)")
@@ -315,9 +318,12 @@ def main(argv=None):
         n_heads=args.n_heads, n_kv_heads=args.n_kv_heads, d_ff=args.d_ff,
         max_seq=args.max_seq, weight_kind=args.weight_kind)
     params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    if args.eager and args.use_pallas:
+        ap.error("--eager and --use-pallas are mutually exclusive")
+    use_pallas = False if args.eager else args.use_pallas
     tps = decode_tokens_per_sec(cfg, params, batch=args.batch,
                                 steps=args.steps,
-                                use_pallas=args.use_pallas,
+                                use_pallas=use_pallas,
                                 cache_kind=args.cache_kind)
     wbytes = {"fp32": 4, "bf16": 2, "int8": 1, "int4": 0.5}[
         args.weight_kind]

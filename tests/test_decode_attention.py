@@ -82,13 +82,16 @@ def test_dh64_pairing_matches_dh128_structure():
     assert _route_decode(True, 4096, 128, 32)
     assert _route_decode(True, 4096, 64, 4)
     assert not _route_decode(True, 4096, 64, 3)   # odd kvh -> eager
-    # cost threshold (measured): routing follows CACHE BYTES —
-    # small bf16 caches decode eagerly, big ones (wide MHA, long T,
-    # large batch) and ALL KV8 caches route paged
+    # cost threshold (measured): routing follows CACHE BYTES read per
+    # step — small caches decode eagerly, big ones (wide MHA, long T,
+    # large batch) route paged. KV8 eager reads HALF the bytes
+    # (_attention_kv8 folds scales into int8 einsums), so its bytes
+    # count at 1 B/elt against the same ~24 MB crossover.
     assert not _route_decode(True, 2048, 64, 4, batch=8)   # 16.8 MB
     assert _route_decode(True, 4096, 64, 4, batch=8)       # 33.5 MB
     assert _route_decode(True, 2048, 128, 32, batch=2)     # 7B: 67 MB
-    assert _route_decode(True, 2048, 64, 4, batch=8, kv8=True)
+    assert not _route_decode(True, 2048, 64, 4, batch=8, kv8=True)  # 8.4
+    assert _route_decode(True, 8192, 64, 4, batch=8, kv8=True)      # 33.5
 
     b, t, h, kvh, d = 2, 128, 8, 4, 64
     kq, kk, kv = jax.random.split(jax.random.PRNGKey(9), 3)

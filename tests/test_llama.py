@@ -156,10 +156,11 @@ def test_kv8_cache_decode_close_to_bf16():
 
 
 def test_routing_edge_cases_fall_back_not_crash():
-    """Routing edge cases: wide dh=64 MHA decode must fall back to
-    eager (neither decode kernel supports kvh*dh > 1024 with dh=64);
-    odd-S flash training must route to the PADDED flash kernels
-    (round 2: mha_flash_train pads outside its VJP) and match eager."""
+    """Routing edge cases: wide dh=64 MHA decode routes through the
+    head-pairing v3 path when kvh is even (round 2 — odd kvh remains
+    the only eager-only width); odd-S flash training routes to the
+    PADDED flash kernels (mha_flash_train pads outside its VJP) and
+    must match eager autodiff."""
     import jax
     import jax.numpy as jnp
     import numpy as np
