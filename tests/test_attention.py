@@ -104,14 +104,16 @@ def test_flash_train_grads_match_eager():
 
 
 @pytest.mark.parametrize("s,causal", [(200, True), (200, False),
-                                      (130, True)])
+                                      (130, True), (640, True)])
 def test_flash_train_odd_s_grads_match_eager(s, causal):
     """Round 2: odd-S TRAINING — mha_flash_train pads outside its
     custom VJP (autodiff delivers do == 0 for padded query rows) and
     masks padded key columns with t_real. Gradients must match eager
     autodiff exactly as in the block-divisible case. The non-causal
     case is the sharp one: without the t_real key mask, a padded
-    zero-key scores 0 (not -inf) and corrupts every real row."""
+    zero-key scores 0 (not -inf) and corrupts every real row.
+    s=640 exercises the least-waste chooser's NO-pad branch with a
+    non-512 block (blk=128 divides 640 exactly)."""
     from how_to_optimize_gemm_tpu.ops.pallas_attention import (
         mha_flash_train)
 

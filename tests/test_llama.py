@@ -173,7 +173,8 @@ def test_routing_edge_cases_fall_back_not_crash():
     assert _route_decode(True, 4096, 128, 32)      # wide MHA d=128: v3
 
     # odd-S flash_train: dh=64 so flash actually routes; S=520 pads to
-    # 1024 inside mha_flash_train. Loss and grads must match eager.
+    # 640 inside mha_flash_train (least-waste blk=128). Loss and grads
+    # must match eager.
     cfg = llama.LlamaConfig(vocab=64, d_model=128, n_layers=1, n_heads=2,
                             n_kv_heads=2, d_ff=128, max_seq=520,
                             weight_kind="fp32")
