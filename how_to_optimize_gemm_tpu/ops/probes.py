@@ -171,6 +171,50 @@ def mxu_depth_gflops(depth: int = 64, size: int = 512,
     return 2.0 * size * size * depth * n_iters / best / 1e9
 
 
+def _vpu_exp_kernel(n_iters: int):
+    def kernel(x_ref, o_ref):
+        y = x_ref[:]
+
+        def body(t, acc):
+            # t-dependent scale keeps the exp loop-variant (no hoisting);
+            # the mul+add around it are noise next to the transcendental
+            return acc + jnp.exp(y * (1.0 + 1e-7 * t.astype(jnp.float32)))
+
+        o_ref[:] = jax.lax.fori_loop(0, n_iters, body, jnp.zeros_like(y))
+    return kernel
+
+
+def vpu_exp_gelems(size: int = 512, n_iters: int | None = None,
+                   repeats: int = 2,
+                   interpret: bool | None = None) -> float:
+    """fp32 exp throughput (Gelem/s) on a VMEM-resident tile — the
+    transcendental companion to vpu_peak_gflops (gflops_fmla slot,
+    vulkan/benchmark/gflops_fmla.cpp:45-50).
+
+    Why it's in the suite: flash attention at d=64 does 4*d = 256 MXU
+    FLOPs but ONE exp per score element, so once the score matmuls run
+    near peak the kernel's ceiling is this number times 256 FLOPs/elem.
+    It turns the observed ~34-53 TF d=64 attention rate into a roofline
+    statement instead of a shrug (RESULTS.md flash section)."""
+    if n_iters is None:
+        # ~1 s of device time at an assumed 100 Gelem/s
+        n_iters = max(1, int(1.0 * 100e9 / (size * size)))
+    x = jnp.full((size, size), -0.5, jnp.float32)
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            _vpu_exp_kernel(n_iters),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=default_interpret(interpret),
+        )(x)
+
+    best = measure(lambda: run(x), repeats=repeats, warmup=1)
+    return float(x.size) * n_iters / best / 1e9
+
+
 def _copy_kernel(src_ref, dst_ref):
     dst_ref[:] = src_ref[:]
 
@@ -555,6 +599,7 @@ def main():
          lambda: vpu_peak_gflops(dependent=True)),
         ("VPU fma independent (func2)",
          lambda: vpu_peak_gflops(dependent=False)),
+        ("VPU exp throughput", vpu_exp_gelems),
         ("HBM r+w bandwidth (pallas)", hbm_bandwidth_gbps),
         ("HBM r+w bandwidth (XLA)", xla_stream_bandwidth_gbps),
         ("HBM r+w bandwidth (manual DMA)", hbm_copy_manual_gbps),
@@ -569,7 +614,8 @@ def main():
         ("MXU bf16 @ depth 512", lambda: mxu_depth_gflops(512)),
     ]:
         unit = ("ns" if "latency" in name
-                else "GB/s" if "bandwidth" in name else "GFLOPS")
+                else "GB/s" if "bandwidth" in name
+                else "Gelem/s" if "exp" in name else "GFLOPS")
         print(f"{name:32s} {fn():12.1f} {unit}")
 
 

@@ -30,6 +30,12 @@ def test_vpu_probe_interpret():
     assert g > 0
 
 
+def test_vpu_exp_probe_interpret():
+    g = probes.vpu_exp_gelems(size=128, n_iters=4, repeats=1,
+                              interpret=True)
+    assert g > 0
+
+
 def test_hbm_probe_interpret():
     g = probes.hbm_bandwidth_gbps(mbytes=4, chain=2, repeats=1,
                                   interpret=True)
