@@ -64,3 +64,21 @@ def make_mesh(dp: int = 1, tp: int | None = None,
             "deliberately run on a device prefix")
     arr = np.asarray(devices[:dp * tp]).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def make_axis_mesh(devices=None, **axes: int) -> Mesh:
+    """Mesh with arbitrary named axes, e.g. ``make_axis_mesh(pp=4, ep=2)``.
+
+    Axis order is the kwarg order, innermost last — put the
+    bandwidth-hungry axis (tp/ep all_to_all traffic, pp neighbor hops)
+    innermost so its groups are ICI neighbors on a real slice. The axis
+    product must cover ALL given devices (same rationale as make_mesh)."""
+    assert axes, "need at least one axis"
+    devices = list(devices if devices is not None else jax.devices())
+    n = 1
+    for v in axes.values():
+        n *= v
+    assert n == len(devices), (
+        f"product of {axes} = {n} != {len(devices)} devices")
+    arr = np.asarray(devices).reshape(tuple(axes.values()))
+    return Mesh(arr, axis_names=tuple(axes))
