@@ -1,0 +1,183 @@
+"""Expert parallelism (top-k routed MoE over a mesh axis) — the EP slot.
+
+SURVEY.md §2.6's accounting: the reference has no inter-device
+parallelism; DP/TP (sharding.py), SP/CP (ring_attention.py) and PP
+(pipeline.py) fill the other slots. This module supplies EP, the one
+whose signature collective is ``all_to_all``: experts live sharded over
+the ``ep`` mesh axis, tokens are routed to their top-k experts through
+fixed-capacity dispatch buffers, and two tiled all_to_alls (one out, one
+back) ride ICI — the cross-chip traffic pattern every production MoE
+(GShard/Switch/Mixtral-style) is built on.
+
+TPU-first constraints shape the design exactly like the GEMM ladder's
+kernels shaped theirs:
+
+- **Static shapes**: routing is data-dependent, but XLA needs one traced
+  program — so dispatch is a dense (tokens, experts, capacity) one-hot
+  (GShard's trick), built from cumsum positions, and tokens past an
+  expert's capacity are DROPPED (their gate weight contributes nothing;
+  callers size ``capacity_factor`` so drops are rare). No gather/scatter
+  with data-dependent sizes anywhere.
+- **MXU-friendly compute**: dispatch/combine are einsums and each local
+  expert's FFN is one batched (E_local, n*C, d) matmul pair — large,
+  dense, bf16-able.
+- **First-choice priority**: the k routing choices are processed
+  first-choices-first when queueing for capacity, so a token's primary
+  expert is the last to drop it.
+
+``moe_ffn`` is differentiable end to end (all_to_all's transpose is the
+reverse all_to_all); tests/test_moe.py asserts exact equality with a
+dense per-token reference at no-drop capacity, gradient flow, and the
+drop semantics at capacity 1.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def init_moe_params(key: jax.Array, d_model: int, d_ff: int,
+                    n_experts: int, dtype=jnp.float32) -> dict:
+    """Router + stacked expert FFN weights (relu MLP d -> f -> d)."""
+    kr, ki, ko = jax.random.split(key, 3)
+    s_in = d_model ** -0.5
+    s_out = d_ff ** -0.5
+    return {
+        "router": (jax.random.normal(kr, (d_model, n_experts)) * s_in
+                   ).astype(dtype),
+        "w_in": (jax.random.normal(ki, (n_experts, d_model, d_ff))
+                 * s_in).astype(dtype),
+        "w_out": (jax.random.normal(ko, (n_experts, d_ff, d_model))
+                  * s_out).astype(dtype),
+    }
+
+
+def _route(logits: jnp.ndarray, k: int, capacity: int):
+    """Top-k routing with fixed-capacity queueing.
+
+    logits (T, E) -> dispatch (T, E, C) one-hot, combine (T, E, C)
+    gate-weighted, aux load-balance loss (GShard §2.2: E * mean_e
+    fraction_e * prob_e; 1.0 at perfect balance)."""
+    t, e = logits.shape
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    gate_vals, choice = lax.top_k(probs, k)                  # (T, k)
+    # renormalize the kept gates so each token's weights sum to 1
+    gate_vals = gate_vals / jnp.sum(gate_vals, -1, keepdims=True)
+
+    # queue for capacity first-choices-first: flatten (k, T) so all
+    # primary choices precede all secondary ones in the cumsum order
+    flat_choice = choice.T.reshape(-1)                       # (k*T,)
+    onehot = jax.nn.one_hot(flat_choice, e, dtype=jnp.int32)  # (kT, E)
+    pos = jnp.cumsum(onehot, axis=0) - 1                     # queue slot
+    pos = jnp.where(onehot > 0, pos, -1)
+    pos = jnp.max(pos, axis=-1)                              # (kT,)
+    kept = (pos >= 0) & (pos < capacity)
+
+    # scatter back to (T, E, C): entry j of the flat order is token
+    # j % T making its (j // T)-th choice
+    tok = jnp.tile(jnp.arange(t), k)
+    disp = jnp.zeros((t, e, capacity), jnp.float32)
+    disp = disp.at[tok, flat_choice,
+                   jnp.clip(pos, 0, capacity - 1)].add(
+        kept.astype(jnp.float32))
+    gates_flat = gate_vals.T.reshape(-1)                     # (kT,)
+    comb = disp * 0.0
+    comb = comb.at[tok, flat_choice,
+                   jnp.clip(pos, 0, capacity - 1)].add(
+        jnp.where(kept, gates_flat, 0.0))
+
+    # load-balance aux: fraction of tokens whose FIRST choice is e,
+    # times mean router prob of e
+    frac = jnp.mean(jax.nn.one_hot(choice[:, 0], e,
+                                   dtype=jnp.float32), axis=0)
+    aux = e * jnp.sum(frac * jnp.mean(probs, axis=0))
+    return disp, comb, aux
+
+
+def _expert_mlp(w_in, w_out, x):
+    """Batched per-expert FFN: x (E, S, d) -> (E, S, d)."""
+    h = jax.nn.relu(jnp.einsum("esd,edf->esf", x, w_in))
+    return jnp.einsum("esf,efd->esd", h, w_out)
+
+
+def _moe_local(params, x, *, axis: str, k: int, capacity: int):
+    """shard_map body: x (T_local, d) token shard; params replicated
+    except the expert stacks, sharded (E_local, ...) on ``axis``."""
+    n = lax.axis_size(axis)
+    logits = x.astype(jnp.float32) @ params["router"].astype(jnp.float32)
+    disp, comb, aux = _route(logits, k, capacity)
+    # local dispatch buffers for ALL experts: (E, C, d)
+    buf = jnp.einsum("tec,td->ecd", disp, x.astype(jnp.float32))
+    # all_to_all out: every device keeps its own experts' slots from
+    # every peer -> (E_local, n*C, d)
+    el = buf.shape[0] // n
+    buf = lax.all_to_all(buf, axis, split_axis=0, concat_axis=1,
+                         tiled=True)
+    out = _expert_mlp(params["w_in"].astype(jnp.float32),
+                      params["w_out"].astype(jnp.float32), buf)
+    # all_to_all back: slots return to the device that dispatched them
+    out = lax.all_to_all(out, axis, split_axis=1, concat_axis=0,
+                         tiled=True)                          # (E, C, d)
+    y = jnp.einsum("tec,ecd->td", comb, out)
+    del el
+    return y.astype(x.dtype), lax.pmean(aux, axis)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "axis", "k", "capacity"))
+def _moe_jit(params, x, mesh, axis, k, capacity):
+    espec = P(axis)
+    pspecs = {"router": P(), "w_in": espec, "w_out": espec}
+    fn = jax.shard_map(
+        functools.partial(_moe_local, axis=axis, k=k,
+                          capacity=capacity),
+        mesh=mesh,
+        in_specs=(pspecs, P(axis)),
+        out_specs=(P(axis), P()))
+    return fn(params, x)
+
+
+def moe_ffn(params, x: jnp.ndarray, mesh: Mesh, axis: str = "ep",
+            k: int = 2, capacity_factor: float = 2.0,
+            return_aux: bool = False):
+    """Expert-parallel routed FFN: x (T, d) -> (T, d).
+
+    Tokens are sharded over ``mesh[axis]`` (T divisible by the axis
+    size), experts sharded the same way (E divisible too). Per-device
+    expert capacity C = ceil(k * T_local * capacity_factor / E); tokens
+    beyond an expert's capacity are dropped from that expert (standard
+    fixed-capacity MoE semantics — raise ``capacity_factor`` to make
+    drops impossible: cf >= E/k guarantees none)."""
+    n = mesh.shape[axis]
+    t, _ = x.shape
+    e = params["w_in"].shape[0]
+    assert t % n == 0, (t, n)
+    assert e % n == 0, (e, n)
+    tl = t // n
+    capacity = max(1, int(-(-k * tl * capacity_factor // e)))
+    y, aux = _moe_jit(params, x, mesh, axis, k, capacity)
+    return (y, aux) if return_aux else y
+
+
+def moe_ffn_dense(params, x: jnp.ndarray, k: int = 2) -> jnp.ndarray:
+    """Per-token dense reference (no capacity, no sharding): the oracle
+    for moe_ffn at no-drop capacity."""
+    logits = x.astype(jnp.float32) @ params["router"].astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    gate_vals, choice = lax.top_k(probs, k)
+    gate_vals = gate_vals / jnp.sum(gate_vals, -1, keepdims=True)
+    # every expert computes every token; combine picks the chosen ones
+    outs = _expert_mlp(params["w_in"].astype(jnp.float32),
+                       params["w_out"].astype(jnp.float32),
+                       jnp.broadcast_to(x.astype(jnp.float32),
+                                        (params["w_in"].shape[0],
+                                         *x.shape)))          # (E, T, d)
+    y = jnp.zeros_like(x, jnp.float32)
+    for j in range(k):
+        y = y + gate_vals[:, j:j + 1] * jnp.take_along_axis(
+            outs, choice[:, j][None, :, None], axis=0)[0]
+    return y.astype(x.dtype)
