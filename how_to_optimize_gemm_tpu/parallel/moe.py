@@ -107,24 +107,28 @@ def _expert_mlp(w_in, w_out, x):
 def _moe_local(params, x, *, axis: str, k: int, capacity: int):
     """shard_map body: x (T_local, d) token shard; params replicated
     except the expert stacks, sharded (E_local, ...) on ``axis``."""
-    n = lax.axis_size(axis)
+    # router math in fp32 (softmax/top-k precision); everything that
+    # crosses ICI or hits the MXU stays in the ACTIVATION dtype — with
+    # bf16 models the all_to_all buffers are half the bytes of an fp32
+    # implementation, on the bandwidth-critical collective
+    ctype = x.dtype
     logits = x.astype(jnp.float32) @ params["router"].astype(jnp.float32)
     disp, comb, aux = _route(logits, k, capacity)
     # local dispatch buffers for ALL experts: (E, C, d)
-    buf = jnp.einsum("tec,td->ecd", disp, x.astype(jnp.float32))
+    buf = jnp.einsum("tec,td->ecd", disp.astype(ctype), x)
     # all_to_all out: every device keeps its own experts' slots from
     # every peer -> (E_local, n*C, d)
-    el = buf.shape[0] // n
     buf = lax.all_to_all(buf, axis, split_axis=0, concat_axis=1,
                          tiled=True)
-    out = _expert_mlp(params["w_in"].astype(jnp.float32),
-                      params["w_out"].astype(jnp.float32), buf)
+    out = _expert_mlp(params["w_in"].astype(ctype),
+                      params["w_out"].astype(ctype), buf)
     # all_to_all back: slots return to the device that dispatched them
     out = lax.all_to_all(out, axis, split_axis=1, concat_axis=0,
                          tiled=True)                          # (E, C, d)
-    y = jnp.einsum("tec,ecd->td", comb, out)
-    del el
-    return y.astype(x.dtype), lax.pmean(aux, axis)
+    # combine in fp32: the gate weights live there and the buffer is
+    # local (no ICI cost)
+    y = jnp.einsum("tec,ecd->td", comb, out.astype(jnp.float32))
+    return y.astype(ctype), lax.pmean(aux, axis)
 
 
 @functools.partial(jax.jit,

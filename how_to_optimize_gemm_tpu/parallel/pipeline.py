@@ -108,8 +108,9 @@ def pipeline_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
     ``n_micro``. Differentiable in both arguments."""
     pp = mesh.shape[axis]
     assert x.shape[0] % n_micro == 0, (x.shape, n_micro)
-    leaf = jax.tree.leaves(stacked_params)[0]
-    assert leaf.shape[0] == pp, (leaf.shape, pp)
+    bad = [l.shape for l in jax.tree.leaves(stacked_params)
+           if l.shape[:1] != (pp,)]
+    assert not bad, f"every leaf needs leading pp={pp} axis, got {bad}"
     fn = jax.shard_map(
         functools.partial(_pp_local, stage_fn=stage_fn, axis=axis,
                           n_micro=n_micro),
@@ -136,13 +137,20 @@ def llama_stack_layers(params, pp: int):
 
 
 def llama_pp_forward(params, cfg, tokens: jnp.ndarray, mesh: Mesh,
-                     axis: str = "pp", n_micro: int = 4) -> jnp.ndarray:
+                     axis: str = "pp", n_micro: int = 4,
+                     use_pallas: bool | None = False,
+                     remat: bool = False) -> jnp.ndarray:
     """Pipeline-parallel full-sequence forward: (B, S) -> (B, S, vocab).
 
     Embedding, final norm and lm_head are replicated (they are a few
     percent of 7B-class FLOPs); the transformer stack runs through
     ``pipeline_apply`` with ``n_layers/pp`` layers per stage. Matches
-    ``llama.forward`` bit-for-bit in fp32 (tests/test_pipeline.py)."""
+    ``llama.forward`` to 2e-5 in fp32 (tests/test_pipeline.py — the
+    microbatched/masked schedule may reassociate fp32 adds, so exact
+    bitwise equality is not guaranteed). ``use_pallas``/``remat`` plumb
+    through to the per-layer blocks exactly as in ``llama.forward``
+    (use_pallas=None auto-routes to the Pallas kernels on chip;
+    the CPU-mesh tests pass False)."""
     from how_to_optimize_gemm_tpu.models import llama
 
     pp = mesh.shape[axis]
@@ -152,10 +160,16 @@ def llama_pp_forward(params, cfg, tokens: jnp.ndarray, mesh: Mesh,
     mask = jnp.tril(jnp.ones((s, s), bool))
     stacked = llama_stack_layers(params, pp)
 
+    def one_block(layer, x):
+        return llama._block(layer, cfg, x, cos, sin, mask=mask,
+                            use_pallas=use_pallas)[0]
+
+    if remat:
+        one_block = jax.checkpoint(one_block)
+
     def stage_fn(stage_layers, x):
         for layer in stage_layers:
-            x = llama._block(layer, cfg, x, cos, sin, mask=mask,
-                             use_pallas=False)[0]
+            x = one_block(layer, x)
         return x
 
     # stack_stages returned a list of stacked layer dicts; bundle it as
@@ -163,4 +177,4 @@ def llama_pp_forward(params, cfg, tokens: jnp.ndarray, mesh: Mesh,
     x = pipeline_apply(stage_fn, stacked, x, mesh, axis=axis,
                        n_micro=n_micro)
     x = llama.rmsnorm(x, params["out_norm"], cfg.norm_eps)
-    return llama.apply_linear(params["lm_head"], x, False)
+    return llama.apply_linear(params["lm_head"], x, use_pallas)

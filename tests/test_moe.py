@@ -56,16 +56,32 @@ def test_moe_aux_loss_and_gradients(devices8):
     assert float(jnp.abs(grads["router"]).max()) > 0
 
 
-def test_moe_first_choice_priority(devices8):
+def test_route_first_choice_priority():
     """When capacity is scarce, a token's PRIMARY expert keeps it in
-    preference to tokens that only chose that expert second."""
-    mesh = make_axis_mesh(devices=devices8[:4], ep=4)
-    d, f, e, t = 8, 16, 4, 32
-    params = init_moe_params(jax.random.PRNGKey(7), d, f, e)
-    x = jax.random.normal(jax.random.PRNGKey(8), (t, d), jnp.float32)
-    y1 = moe_ffn(params, x, mesh, k=1, capacity_factor=4.0)
-    y2 = moe_ffn(params, x, mesh, k=2, capacity_factor=4.0 / 2)
-    # same total capacity per expert; k=2's secondary routes may drop
-    # but its primary routes are queued first, so k=2 output stays
-    # finite and no token loses its primary expert entirely
-    assert bool(jnp.isfinite(y1).all()) and bool(jnp.isfinite(y2).all())
+    preference to tokens that only chose that expert second: token 0
+    second-prefers e1, token 1 first-prefers e1, capacity 1 — token 1
+    must win the slot."""
+    from how_to_optimize_gemm_tpu.parallel.moe import _route
+    logits = jnp.array([[5.0, 4.0, 0.0],    # t0: choices (e0, e1)
+                        [0.0, 5.0, 4.0]])   # t1: choices (e1, e2)
+    disp, comb, _ = _route(logits, k=2, capacity=1)
+    assert float(disp[1, 1, 0]) == 1.0      # t1 keeps its first choice
+    assert float(disp[0, 1].sum()) == 0.0   # t0's SECOND choice dropped
+    assert float(disp[0, 0, 0]) == 1.0      # t0 keeps ITS first choice
+    assert float(disp[1, 2, 0]) == 1.0      # t1's second fits e2
+    # gates follow dispatch: t0 lost its e1 gate weight
+    assert float(comb[0, 1].sum()) == 0.0
+    assert float(comb[1, 1, 0]) > 0.5
+
+
+def test_moe_bf16_activations(devices8):
+    """bf16 tokens stay bf16 across the all_to_alls (half the ICI
+    bytes) and still track the fp32 dense oracle."""
+    mesh = make_axis_mesh(devices=devices8, ep=8)
+    params, x = _setup()
+    xb = x.astype(jnp.bfloat16)
+    got = moe_ffn(params, xb, mesh, k=2, capacity_factor=4.0)
+    assert got.dtype == jnp.bfloat16
+    ref = moe_ffn_dense(params, x, k=2)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref), rtol=0, atol=0.15)
