@@ -52,6 +52,8 @@ def load_params(path, like: dict[str, Any]) -> dict[str, Any]:
             return {k: rebuild(v, f"{prefix}{k}/") for k, v in node.items()}
         if isinstance(node, (list, tuple)):
             vals = [rebuild(v, f"{prefix}{i}/") for i, v in enumerate(node)]
+            if hasattr(node, "_fields"):      # namedtuple (optax states)
+                return type(node)(*vals)
             return type(node)(vals) if isinstance(node, tuple) else vals
         key = prefix[:-1]
         if key + "__bf16" in flat:
@@ -64,6 +66,37 @@ def load_params(path, like: dict[str, Any]) -> dict[str, Any]:
             raise ValueError(
                 f"checkpoint mismatch at {key}: {arr.shape}/{arr.dtype} vs "
                 f"{want.shape}/{want.dtype}")
+        # sharding-preserving restore: a resumed dp/tp/pp/ep run must
+        # come back with the SAME placement its template carries, or the
+        # first step after resume pays a full reshard (and multi-host
+        # code silently degrades to replicated)
+        if isinstance(node, jax.Array) and hasattr(node, "sharding"):
+            return jax.device_put(arr, node.sharding)
         return jax.numpy.asarray(arr)
 
     return rebuild(like)
+
+
+def save_train_state(path, state) -> None:
+    """Full resume checkpoint: params + optimizer state + step counter.
+
+    ``state`` is parallel/training.TrainState (any pytree of dicts,
+    lists, tuples and optax namedtuples works — namedtuple field order
+    is the flatten order)."""
+    save_params(path, {"params": state.params,
+                       "opt_state": state.opt_state,
+                       "step": np.int64(state.step)})
+
+
+def load_train_state(path, like):
+    """Restore a TrainState saved by save_train_state into the
+    structure (and shardings) of ``like``. Resuming from the returned
+    state continues the run EXACTLY: tests/test_checkpoint.py asserts
+    bit-identical params vs an uninterrupted run on the virtual mesh."""
+    from how_to_optimize_gemm_tpu.parallel.training import TrainState
+    tree = load_params(path, {"params": like.params,
+                              "opt_state": like.opt_state,
+                              "step": np.int64(like.step)})
+    return TrainState(params=tree["params"],
+                      opt_state=tree["opt_state"],
+                      step=int(tree["step"]))

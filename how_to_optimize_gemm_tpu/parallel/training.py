@@ -110,14 +110,23 @@ def make_train_step(cfg, optimizer, mesh: Mesh | None = None,
 def train(cfg, params, tokens_iter, n_steps: int, mesh: Mesh | None = None,
           lr: float = 3e-4, remat: bool = False,
           checkpoint_dir: str | None = None,
-          checkpoint_every: int = 0):
-    """Minimal loop: iterate ``tokens_iter`` for n_steps; optionally save
-    orbax-style checkpoints (models/checkpoint.py) for resume."""
+          checkpoint_every: int = 0,
+          resume_from: str | None = None):
+    """Minimal loop: iterate ``tokens_iter`` for n_steps total;
+    checkpoints carry the FULL train state (params + optimizer moments +
+    step), so ``resume_from`` continues a run bit-exactly — the
+    elastic-recovery capability slot (SURVEY.md §5: the reference has
+    none; fail-fast + resume-from-snapshot is the TPU-fleet idiom).
+    ``n_steps`` counts the whole run: resuming at step k runs
+    ``n_steps - k`` more."""
+    from how_to_optimize_gemm_tpu.models import checkpoint
     optimizer = make_optimizer(lr)
     state = init_train_state(params, optimizer, mesh)
+    if resume_from is not None:
+        state = checkpoint.load_train_state(resume_from, state)
     step_fn, _ = make_train_step(cfg, optimizer, mesh, remat)
     losses = []
-    for i in range(n_steps):
+    for i in range(state.step, n_steps):
         tokens = next(tokens_iter)
         if mesh is not None:
             tokens = jax.device_put(
@@ -126,8 +135,7 @@ def train(cfg, params, tokens_iter, n_steps: int, mesh: Mesh | None = None,
         losses.append(float(loss))
         if (checkpoint_dir and checkpoint_every
                 and (i + 1) % checkpoint_every == 0):
-            from how_to_optimize_gemm_tpu.models import checkpoint
-            checkpoint.save_params(
-                f"{checkpoint_dir}/step_{i + 1:06d}", state.params)
+            checkpoint.save_train_state(
+                f"{checkpoint_dir}/step_{i + 1:06d}", state)
     return state, losses
 

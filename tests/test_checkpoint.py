@@ -47,3 +47,23 @@ def test_quantized_inference_after_restore(tmp_path):
     a = llama.forward(params, CFG, tokens, use_pallas=False)
     b = llama.forward(restored, CFG, tokens, use_pallas=False)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_restore_preserves_placement(devices8, tmp_path):
+    """A resumed dp/tp run must come back with the template's
+    shardings, not defaulted to one device."""
+    from how_to_optimize_gemm_tpu.parallel.mesh import make_mesh
+    from how_to_optimize_gemm_tpu.parallel.sharding import shard_params
+
+    cfg = llama.LlamaConfig(vocab=64, d_model=32, n_layers=1, n_heads=4,
+                            n_kv_heads=4, d_ff=64, max_seq=16,
+                            weight_kind="fp32")
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(dp=2, tp=4, devices=devices8)
+    sharded = shard_params(params, mesh)
+    path = tmp_path / "sharded"
+    checkpoint.save_params(path, sharded)
+    restored = checkpoint.load_params(path, sharded)
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(sharded)):
+        assert a.sharding == b.sharding, (a.sharding, b.sharding)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -29,12 +29,20 @@ def test_loss_decreases_and_resumes(tmp_path):
         CFG, params, it, n_steps=8, lr=1e-2,
         checkpoint_dir=str(tmp_path), checkpoint_every=4)
     assert losses[-1] < losses[0]
-    # checkpoint round-trips
-    restored = checkpoint.load_params(tmp_path / "step_000008",
-                                      state.params)
-    a = jax.tree.leaves(restored)[0]
-    b = jax.tree.leaves(state.params)[0]
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # full-state resume from the step-4 snapshot must land bit-exactly
+    # on the uninterrupted step-8 state (optimizer moments included)
+    params2 = llama.init_params(jax.random.PRNGKey(0), CFG)
+    it2 = _batches(jax.random.PRNGKey(1), 4, 16)
+    state2, losses2 = training.train(
+        CFG, params2, it2, n_steps=8, lr=1e-2,
+        resume_from=str(tmp_path / "step_000004"))
+    assert state2.step == 8 and len(losses2) == 4
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.opt_state),
+                    jax.tree.leaves(state2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_quantized_leaves_frozen():
