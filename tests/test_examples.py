@@ -28,3 +28,10 @@ def test_train_example():
               "--steps", "3"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "losses:" in r.stdout
+
+
+def test_parallel_axes_example():
+    r = _run(["examples/parallel_axes.py"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    for marker in ("train loss:", "pp=8", "ep=8", "ring attention"):
+        assert marker in r.stdout, (marker, r.stdout)
