@@ -34,6 +34,13 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     norm_eps: float = 1e-5
     weight_kind: str = "bf16"  # linear: fp32|bf16|int8|int4|w4a8
+    # n_experts > 0 makes the MLP a top-k routed MoE (Mixtral shape):
+    # SwiGLU experts via parallel/moe, dense-routed on one device,
+    # expert-parallel over an ep mesh axis with moe_ffn. Expert stacks
+    # stay in fp32/bf16 (requantize() leaves them dense).
+    n_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity: float = 2.0
 
     @property
     def d_head(self) -> int:
@@ -45,6 +52,15 @@ def llama2_7b(weight_kind: str = "int8") -> LlamaConfig:
     return LlamaConfig(vocab=32000, d_model=4096, n_layers=32, n_heads=32,
                        n_kv_heads=32, d_ff=11008, max_seq=4096,
                        weight_kind=weight_kind)
+
+
+def mixtral_8x7b(weight_kind: str = "bf16") -> LlamaConfig:
+    """Mixtral-8x7B proportions: GQA 32/8, 8 SwiGLU experts, top-2
+    routing. Attention/embeddings follow weight_kind; expert stacks stay
+    dense bf16 (see LlamaConfig.n_experts)."""
+    return LlamaConfig(vocab=32000, d_model=4096, n_layers=32, n_heads=32,
+                       n_kv_heads=8, d_ff=14336, max_seq=4096,
+                       weight_kind=weight_kind, n_experts=8, moe_top_k=2)
 
 
 # ---------------------------------------------------------------- params
@@ -62,17 +78,27 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> dict[str, Any]:
     layers = []
     for kl in k_layers:
         ks = jax.random.split(kl, 7)
-        layers.append({
+        layer = {
             "attn_norm": jnp.ones((d,), jnp.float32),
             "wq": dense(ks[0], d, h * dh, cfg.weight_kind),
             "wk": dense(ks[1], d, kvh * dh, cfg.weight_kind),
             "wv": dense(ks[2], d, kvh * dh, cfg.weight_kind),
             "wo": dense(ks[3], h * dh, d, cfg.weight_kind),
             "mlp_norm": jnp.ones((d,), jnp.float32),
-            "w_gate": dense(ks[4], d, cfg.d_ff, cfg.weight_kind),
-            "w_up": dense(ks[5], d, cfg.d_ff, cfg.weight_kind),
-            "w_down": dense(ks[6], cfg.d_ff, d, cfg.weight_kind),
-        })
+        }
+        if cfg.n_experts > 0:
+            from how_to_optimize_gemm_tpu.parallel.moe import (
+                init_moe_params)
+            edtype = (jnp.float32 if cfg.weight_kind == "fp32"
+                      else jnp.bfloat16)
+            layer["moe"] = init_moe_params(ks[4], d, cfg.d_ff,
+                                           cfg.n_experts, dtype=edtype,
+                                           swiglu=True)
+        else:
+            layer["w_gate"] = dense(ks[4], d, cfg.d_ff, cfg.weight_kind)
+            layer["w_up"] = dense(ks[5], d, cfg.d_ff, cfg.weight_kind)
+            layer["w_down"] = dense(ks[6], cfg.d_ff, d, cfg.weight_kind)
+        layers.append(layer)
     return {
         "embed": jax.random.normal(k_embed, (cfg.vocab, d),
                                    jnp.float32) * 0.02,
@@ -249,6 +275,30 @@ def _update_cache(cache, new, pos, write_mask=None):
     )(cache, new, pos)
 
 
+def _mlp(layer, cfg: LlamaConfig, y, use_pallas):
+    """SwiGLU MLP, dense or routed: cfg.n_experts > 0 stores a "moe"
+    dict instead of w_gate/w_up/w_down and routes every token to its
+    top-k SwiGLU experts (parallel/moe.moe_ffn_local — same math as the
+    expert-parallel moe_ffn, minus the all_to_alls)."""
+    if "moe" in layer:
+        from how_to_optimize_gemm_tpu.parallel.moe import moe_ffn_local
+        b, s, d = y.shape
+        # decode-class token counts get no-drop capacity (cf >= E/k
+        # guarantees it): dropping 1 of 2 decode tokens because both
+        # first-chose the same expert would be a quality cliff, and the
+        # dispatch buffer is tiny at these T anyway
+        cf = cfg.moe_capacity
+        if b * s <= 64:
+            cf = max(cf, cfg.n_experts / cfg.moe_top_k)
+        out = moe_ffn_local(layer["moe"], y.reshape(b * s, d),
+                            k=cfg.moe_top_k, capacity_factor=cf)
+        return out.reshape(b, s, d)
+    gate = apply_linear(layer["w_gate"], y, use_pallas)
+    up = apply_linear(layer["w_up"], y, use_pallas)
+    return apply_linear(layer["w_down"], jax.nn.silu(gate) * up,
+                        use_pallas)
+
+
 def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
            use_pallas=None, write_mask=None, prefill_self=False,
            flash_train=False):
@@ -303,10 +353,7 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
             attn = _attention_kv8(q, qk, sk, qv, sv, valid)
         x = x + apply_linear(layer["wo"], attn, use_pallas)
         y = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
-        gate = apply_linear(layer["w_gate"], y, use_pallas)
-        up = apply_linear(layer["w_up"], y, use_pallas)
-        x = x + apply_linear(layer["w_down"], jax.nn.silu(gate) * up,
-                             use_pallas)
+        x = x + _mlp(layer, cfg, y, use_pallas)
         return x, (qk, sk, qv, sv)
     if kv is None:
         if flash_train and _route_flash(True, s, dh):
@@ -376,10 +423,7 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
     x = x + apply_linear(layer["wo"], attn, use_pallas)
 
     y = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
-    gate = apply_linear(layer["w_gate"], y, use_pallas)
-    up = apply_linear(layer["w_up"], y, use_pallas)
-    x = x + apply_linear(layer["w_down"], jax.nn.silu(gate) * up,
-                         use_pallas)
+    x = x + _mlp(layer, cfg, y, use_pallas)
     return x, new_kv
 
 

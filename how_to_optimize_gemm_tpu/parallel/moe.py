@@ -41,12 +41,17 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 
 def init_moe_params(key: jax.Array, d_model: int, d_ff: int,
-                    n_experts: int, dtype=jnp.float32) -> dict:
-    """Router + stacked expert FFN weights (relu MLP d -> f -> d)."""
-    kr, ki, ko = jax.random.split(key, 3)
+                    n_experts: int, dtype=jnp.float32,
+                    swiglu: bool = False) -> dict:
+    """Router + stacked expert FFN weights.
+
+    Default experts are relu MLPs (d -> f -> d); ``swiglu=True`` makes
+    them llama-family SwiGLU experts (gate/up/down — the Mixtral
+    shape), selected at apply time by the presence of ``w_gate``."""
+    kr, ki, ko, kg = jax.random.split(key, 4)
     s_in = d_model ** -0.5
     s_out = d_ff ** -0.5
-    return {
+    params = {
         "router": (jax.random.normal(kr, (d_model, n_experts)) * s_in
                    ).astype(dtype),
         "w_in": (jax.random.normal(ki, (n_experts, d_model, d_ff))
@@ -54,6 +59,10 @@ def init_moe_params(key: jax.Array, d_model: int, d_ff: int,
         "w_out": (jax.random.normal(ko, (n_experts, d_ff, d_model))
                   * s_out).astype(dtype),
     }
+    if swiglu:
+        params["w_gate"] = (jax.random.normal(
+            kg, (n_experts, d_model, d_ff)) * s_in).astype(dtype)
+    return params
 
 
 def _route(logits: jnp.ndarray, k: int, capacity: int):
@@ -98,9 +107,17 @@ def _route(logits: jnp.ndarray, k: int, capacity: int):
     return disp, comb, aux
 
 
-def _expert_mlp(w_in, w_out, x):
-    """Batched per-expert FFN: x (E, S, d) -> (E, S, d)."""
-    h = jax.nn.relu(jnp.einsum("esd,edf->esf", x, w_in))
+def _experts(params, x, ctype):
+    """Batched per-expert FFN: x (E, S, d) -> (E, S, d). SwiGLU when
+    the params carry a gate stack, relu MLP otherwise."""
+    w_in = params["w_in"].astype(ctype)
+    w_out = params["w_out"].astype(ctype)
+    if "w_gate" in params:
+        g = jax.nn.silu(jnp.einsum("esd,edf->esf", x,
+                                   params["w_gate"].astype(ctype)))
+        h = g * jnp.einsum("esd,edf->esf", x, w_in)
+    else:
+        h = jax.nn.relu(jnp.einsum("esd,edf->esf", x, w_in))
     return jnp.einsum("esf,efd->esd", h, w_out)
 
 
@@ -120,8 +137,7 @@ def _moe_local(params, x, *, axis: str, k: int, capacity: int):
     # every peer -> (E_local, n*C, d)
     buf = lax.all_to_all(buf, axis, split_axis=0, concat_axis=1,
                          tiled=True)
-    out = _expert_mlp(params["w_in"].astype(ctype),
-                      params["w_out"].astype(ctype), buf)
+    out = _experts(params, buf, ctype)
     # all_to_all back: slots return to the device that dispatched them
     out = lax.all_to_all(out, axis, split_axis=1, concat_axis=0,
                          tiled=True)                          # (E, C, d)
@@ -134,8 +150,9 @@ def _moe_local(params, x, *, axis: str, k: int, capacity: int):
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "axis", "k", "capacity"))
 def _moe_jit(params, x, mesh, axis, k, capacity):
-    espec = P(axis)
-    pspecs = {"router": P(), "w_in": espec, "w_out": espec}
+    # router replicated; every expert stack (w_in/w_out/w_gate) sharded
+    # on its leading E axis
+    pspecs = {k: (P() if k == "router" else P(axis)) for k in params}
     fn = jax.shard_map(
         functools.partial(_moe_local, axis=axis, k=k,
                           capacity=capacity),
@@ -167,6 +184,27 @@ def moe_ffn(params, x: jnp.ndarray, mesh: Mesh, axis: str = "ep",
     return (y, aux) if return_aux else y
 
 
+def moe_ffn_local(params, x: jnp.ndarray, k: int = 2,
+                  capacity_factor: float = 2.0,
+                  return_aux: bool = False):
+    """Single-device routed MoE: the SAME dispatch/capacity/combine math
+    as moe_ffn, minus the all_to_alls — the one-chip serving/training
+    path (models/llama uses it when cfg.n_experts > 0). Equal to moe_ffn
+    on a mesh whenever nothing drops; with T_local = T the capacity
+    formula matches moe_ffn's at n=1."""
+    t = x.shape[0]
+    e = params["w_in"].shape[0]
+    capacity = max(1, int(-(-k * t * capacity_factor // e)))
+    ctype = x.dtype
+    logits = x.astype(jnp.float32) @ params["router"].astype(jnp.float32)
+    disp, comb, aux = _route(logits, k, capacity)
+    buf = jnp.einsum("tec,td->ecd", disp.astype(ctype), x)
+    out = _experts(params, buf, ctype)
+    y = jnp.einsum("tec,ecd->td", comb, out.astype(jnp.float32))
+    y = y.astype(ctype)
+    return (y, aux) if return_aux else y
+
+
 def moe_ffn_dense(params, x: jnp.ndarray, k: int = 2) -> jnp.ndarray:
     """Per-token dense reference (no capacity, no sharding): the oracle
     for moe_ffn at no-drop capacity."""
@@ -175,11 +213,11 @@ def moe_ffn_dense(params, x: jnp.ndarray, k: int = 2) -> jnp.ndarray:
     gate_vals, choice = lax.top_k(probs, k)
     gate_vals = gate_vals / jnp.sum(gate_vals, -1, keepdims=True)
     # every expert computes every token; combine picks the chosen ones
-    outs = _expert_mlp(params["w_in"].astype(jnp.float32),
-                       params["w_out"].astype(jnp.float32),
-                       jnp.broadcast_to(x.astype(jnp.float32),
-                                        (params["w_in"].shape[0],
-                                         *x.shape)))          # (E, T, d)
+    outs = _experts(params,
+                    jnp.broadcast_to(x.astype(jnp.float32),
+                                     (params["w_in"].shape[0],
+                                      *x.shape)),
+                    jnp.float32)                              # (E, T, d)
     y = jnp.zeros_like(x, jnp.float32)
     for j in range(k):
         y = y + gate_vals[:, j:j + 1] * jnp.take_along_axis(

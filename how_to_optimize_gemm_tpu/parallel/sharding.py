@@ -51,17 +51,24 @@ def param_specs(params: dict[str, Any]) -> dict[str, Any]:
     col = True
     layers = []
     for layer in params["layers"]:
-        layers.append({
+        specs = {
             "attn_norm": P(),
             "wq": _spec_for_linear(layer["wq"], col),
             "wk": _spec_for_linear(layer["wk"], col),
             "wv": _spec_for_linear(layer["wv"], col),
             "wo": _spec_for_linear(layer["wo"], not col),
             "mlp_norm": P(),
-            "w_gate": _spec_for_linear(layer["w_gate"], col),
-            "w_up": _spec_for_linear(layer["w_up"], col),
-            "w_down": _spec_for_linear(layer["w_down"], not col),
-        })
+        }
+        if "moe" in layer:
+            # MoE expert stacks replicate under TP (expert parallelism
+            # is its own mesh axis — parallel/moe.moe_ffn); the router
+            # is tiny and replicated either way
+            specs["moe"] = jax.tree.map(lambda _: P(), layer["moe"])
+        else:
+            specs["w_gate"] = _spec_for_linear(layer["w_gate"], col)
+            specs["w_up"] = _spec_for_linear(layer["w_up"], col)
+            specs["w_down"] = _spec_for_linear(layer["w_down"], not col)
+        layers.append(specs)
     return {
         "embed": P(),
         "out_norm": P(),

@@ -191,3 +191,59 @@ def test_routing_edge_cases_fall_back_not_crash():
     b = np.asarray(gf["layers"][0]["wq"]["fp32_w"])
     scale = np.max(np.abs(a)) + 1e-9
     np.testing.assert_allclose(b / scale, a / scale, rtol=0, atol=5e-2)
+
+
+# ------------------------------------------------------------- MoE family
+
+MOE_CFG = llama.LlamaConfig(vocab=64, d_model=32, n_layers=2, n_heads=4,
+                            n_kv_heads=2, d_ff=64, max_seq=32,
+                            weight_kind="fp32", n_experts=4, moe_top_k=2)
+
+
+def test_moe_decode_matches_forward():
+    """The Mixtral-shaped family: routed-MoE MLP, prefill == stepped
+    decode (both in the small-T no-drop capacity regime)."""
+    params = llama.init_params(jax.random.PRNGKey(0), MOE_CFG)
+    assert "moe" in params["layers"][0]
+    assert "w_gate" not in params["layers"][0]
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (1, 6), 0,
+                                MOE_CFG.vocab)
+    full = llama.forward(params, MOE_CFG, tokens, use_pallas=False)
+    cache = llama.init_kv_cache(MOE_CFG, batch=1, dtype=jnp.float32)
+    outs = []
+    for t in range(tokens.shape[1]):
+        logits, cache = llama.decode_step(
+            params, MOE_CFG, cache, tokens[:, t:t + 1], jnp.int32(t),
+            use_pallas=False)
+        outs.append(logits[:, 0])
+    stepped = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(stepped), np.asarray(full),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_moe_train_step_moves_router():
+    params = llama.init_params(jax.random.PRNGKey(0), MOE_CFG)
+    router0 = np.asarray(params["layers"][0]["moe"]["router"])
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (4, 16), 0,
+                                MOE_CFG.vocab)
+    state = params
+    losses = []
+    for _ in range(6):
+        state, loss = llama.sgd_train_step(state, MOE_CFG, tokens,
+                                           lr=1e-2)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    # the router is trainable: gates pass gradient to it
+    router1 = np.asarray(state["layers"][0]["moe"]["router"])
+    assert not np.array_equal(router0, router1)
+
+
+def test_moe_requantize_keeps_experts_dense():
+    params = llama.init_params(jax.random.PRNGKey(0), MOE_CFG)
+    q = llama.requantize(params, "int8")
+    assert "int8_qw" in q["layers"][0]["wq"]
+    moe = q["layers"][0]["moe"]
+    assert set(moe) == {"router", "w_in", "w_out", "w_gate"}
+    np.testing.assert_array_equal(
+        np.asarray(moe["w_in"]),
+        np.asarray(params["layers"][0]["moe"]["w_in"]))

@@ -85,3 +85,22 @@ def test_moe_bf16_activations(devices8):
     ref = moe_ffn_dense(params, x, k=2)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref), rtol=0, atol=0.15)
+
+
+def test_moe_local_matches_ep_mesh_swiglu(devices8):
+    """The single-device routed path (what models/llama uses) and the
+    expert-parallel path compute the same function when nothing drops —
+    with SwiGLU experts (the Mixtral shape)."""
+    from how_to_optimize_gemm_tpu.parallel.moe import moe_ffn_local
+    mesh = make_axis_mesh(devices=devices8, ep=8)
+    params = init_moe_params(jax.random.PRNGKey(11), 16, 32, 8,
+                             swiglu=True)
+    x = jax.random.normal(jax.random.PRNGKey(12), (64, 16), jnp.float32)
+    # no-drop capacity both sides: cf = E/k
+    got_ep = moe_ffn(params, x, mesh, k=2, capacity_factor=4.0)
+    got_local = moe_ffn_local(params, x, k=2, capacity_factor=4.0)
+    ref = moe_ffn_dense(params, x, k=2)
+    np.testing.assert_allclose(np.asarray(got_local), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_ep), np.asarray(got_local),
+                               rtol=0, atol=1e-5)

@@ -17,20 +17,20 @@ def params():
     return llama.init_params(jax.random.PRNGKey(7), CFG)
 
 
-def _greedy_reference(params, prompt, max_new):
+def _greedy_reference(params, prompt, max_new, cfg=CFG):
     """Sequential greedy decode via the raw decode_step API (batch 1)."""
-    cache = llama.init_kv_cache(CFG, 1, jnp.bfloat16)
+    cache = llama.init_kv_cache(cfg, 1, jnp.bfloat16)
     tok = None
     for t, p in enumerate(prompt):
         logits, cache = llama.decode_step(
-            params, CFG, cache, jnp.asarray([[p]], jnp.int32),
+            params, cfg, cache, jnp.asarray([[p]], jnp.int32),
             jnp.asarray([t], jnp.int32), use_pallas=False)
         tok = int(jnp.argmax(logits[0, -1]))
     out = [tok]
     pos = len(prompt)
     while len(out) < max_new:
         logits, cache = llama.decode_step(
-            params, CFG, cache, jnp.asarray([[out[-1]]], jnp.int32),
+            params, cfg, cache, jnp.asarray([[out[-1]]], jnp.int32),
             jnp.asarray([pos], jnp.int32), use_pallas=False)
         out.append(int(jnp.argmax(logits[0, -1])))
         pos += 1
@@ -154,3 +154,21 @@ def test_max_new_one_and_first_token_eos(params):
     done2 = eng2.run([Request(uid=0, prompt=[3, 5], max_new=8)],
                      eos_id=first)
     assert done2[0].out == [first]
+
+
+def test_engine_moe_model():
+    """Continuous batching over the MoE (Mixtral-shaped) family matches
+    sequential greedy decode — routing stays per-token deterministic in
+    the no-drop capacity regime the engine's token counts sit in."""
+    mcfg = llama.LlamaConfig(vocab=64, d_model=32, n_layers=2, n_heads=4,
+                             n_kv_heads=2, d_ff=64, max_seq=32,
+                             weight_kind="fp32", n_experts=4)
+    mparams = llama.init_params(jax.random.PRNGKey(9), mcfg)
+    reqs = [Request(uid=i, prompt=p, max_new=4)
+            for i, p in enumerate([[3, 5, 7], [11, 2]])]
+    eng = ServingEngine(mcfg, mparams, batch_slots=2, use_pallas=False)
+    done = eng.run(reqs)
+    for req in done:
+        ref = _greedy_reference(mparams, req.prompt, req.max_new,
+                                cfg=mcfg)
+        assert req.out == ref, (req.uid, req.out, ref)
