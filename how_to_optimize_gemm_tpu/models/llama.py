@@ -38,9 +38,18 @@ class LlamaConfig:
     # SwiGLU experts via parallel/moe, dense-routed on one device,
     # expert-parallel over an ep mesh axis with moe_ffn. Expert stacks
     # stay in fp32/bf16 (requantize() leaves them dense).
+    # moe_dropless=True (default) forces per-chunk no-drop capacity
+    # (cf = E/k): every token's routing is independent of its co-batch,
+    # so serving output is deterministic per request — at the price of
+    # E/k x the useful expert FLOPs (static shapes cannot size buffers
+    # to the realized routing). moe_dropless=False uses moe_capacity
+    # (GShard semantics: overflow tokens drop, output depends on the
+    # co-batch — acceptable in training, surprising in serving).
     n_experts: int = 0
     moe_top_k: int = 2
     moe_capacity: float = 2.0
+    moe_dropless: bool = True
+    moe_aux_weight: float = 0.01
 
     @property
     def d_head(self) -> int:
@@ -279,24 +288,24 @@ def _mlp(layer, cfg: LlamaConfig, y, use_pallas):
     """SwiGLU MLP, dense or routed: cfg.n_experts > 0 stores a "moe"
     dict instead of w_gate/w_up/w_down and routes every token to its
     top-k SwiGLU experts (parallel/moe.moe_ffn_local — same math as the
-    expert-parallel moe_ffn, minus the all_to_alls)."""
+    expert-parallel moe_ffn, minus the all_to_alls). Returns (out, aux)
+    — aux is the GShard load-balance loss (0 for the dense MLP)."""
     if "moe" in layer:
         from how_to_optimize_gemm_tpu.parallel.moe import moe_ffn_local
         b, s, d = y.shape
-        # decode-class token counts get no-drop capacity (cf >= E/k
-        # guarantees it): dropping 1 of 2 decode tokens because both
-        # first-chose the same expert would be a quality cliff, and the
-        # dispatch buffer is tiny at these T anyway
         cf = cfg.moe_capacity
-        if b * s <= 64:
+        if cfg.moe_dropless:
+            # per-chunk no-drop: routing independent of the co-batch
+            # (serving determinism — see LlamaConfig)
             cf = max(cf, cfg.n_experts / cfg.moe_top_k)
-        out = moe_ffn_local(layer["moe"], y.reshape(b * s, d),
-                            k=cfg.moe_top_k, capacity_factor=cf)
-        return out.reshape(b, s, d)
+        out, aux = moe_ffn_local(layer["moe"], y.reshape(b * s, d),
+                                 k=cfg.moe_top_k, capacity_factor=cf,
+                                 return_aux=True)
+        return out.reshape(b, s, d), aux
     gate = apply_linear(layer["w_gate"], y, use_pallas)
     up = apply_linear(layer["w_up"], y, use_pallas)
     return apply_linear(layer["w_down"], jax.nn.silu(gate) * up,
-                        use_pallas)
+                        use_pallas), jnp.float32(0.0)
 
 
 def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
@@ -353,8 +362,8 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
             attn = _attention_kv8(q, qk, sk, qv, sv, valid)
         x = x + apply_linear(layer["wo"], attn, use_pallas)
         y = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
-        x = x + _mlp(layer, cfg, y, use_pallas)
-        return x, (qk, sk, qv, sv)
+        mlp_out, aux = _mlp(layer, cfg, y, use_pallas)
+        return x + mlp_out, (qk, sk, qv, sv), aux
     if kv is None:
         if flash_train and _route_flash(True, s, dh):
             # differentiable flash path (training long-context); any S
@@ -423,21 +432,25 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
     x = x + apply_linear(layer["wo"], attn, use_pallas)
 
     y = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
-    x = x + _mlp(layer, cfg, y, use_pallas)
-    return x, new_kv
+    mlp_out, aux = _mlp(layer, cfg, y, use_pallas)
+    return x + mlp_out, new_kv, aux
 
 
 # -------------------------------------------------------------- forward
 
 def forward(params, cfg: LlamaConfig, tokens: jnp.ndarray,
             use_pallas: bool | None = None,
-            remat: bool = False, flash_train: bool = False) -> jnp.ndarray:
+            remat: bool = False, flash_train: bool = False,
+            return_moe_aux: bool = False):
     """Full-sequence forward (training / prefill): (B, S) -> (B, S, vocab).
 
     remat=True wraps each block in ``jax.checkpoint``: activations are
     recomputed in the backward pass instead of stored, trading ~1/3 more
     FLOPs for O(sqrt) activation memory — the standard TPU move for
-    HBM-bound training (the "rematerialisation" capability slot)."""
+    HBM-bound training (the "rematerialisation" capability slot).
+    return_moe_aux=True additionally returns the mean per-layer GShard
+    load-balance loss (0 for dense-MLP configs) — loss_fn adds it with
+    cfg.moe_aux_weight so MoE routers train against collapse."""
     b, s = tokens.shape
     x = params["embed"][tokens]
     pos = jnp.arange(s)
@@ -445,15 +458,22 @@ def forward(params, cfg: LlamaConfig, tokens: jnp.ndarray,
     mask = jnp.tril(jnp.ones((s, s), bool))
 
     def block(layer, x):
-        return _block(layer, cfg, x, cos, sin, mask=mask,
-                      use_pallas=use_pallas, flash_train=flash_train)[0]
+        out, _, aux = _block(layer, cfg, x, cos, sin, mask=mask,
+                             use_pallas=use_pallas,
+                             flash_train=flash_train)
+        return out, aux
 
     if remat:
         block = jax.checkpoint(block)
+    aux_total = jnp.float32(0.0)
     for layer in params["layers"]:
-        x = block(layer, x)
+        x, aux = block(layer, x)
+        aux_total = aux_total + aux
     x = rmsnorm(x, params["out_norm"], cfg.norm_eps)
-    return apply_linear(params["lm_head"], x, use_pallas)
+    logits = apply_linear(params["lm_head"], x, use_pallas)
+    if return_moe_aux:
+        return logits, aux_total / max(1, len(params["layers"]))
+    return logits
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, dtype=jnp.bfloat16,
@@ -544,7 +564,7 @@ def decode_step(params, cfg: LlamaConfig, cache, tokens: jnp.ndarray,
     cos, sin = _rope_freqs(cfg, positions)
     new_cache = []
     for layer, entry in zip(params["layers"], cache):
-        x, kv = _block(layer, cfg, x, cos, sin, kv=(*entry, pos),
+        x, kv, _ = _block(layer, cfg, x, cos, sin, kv=(*entry, pos),
                        use_pallas=use_pallas, write_mask=write_mask,
                        prefill_self=prefill_self)
         new_cache.append(kv)
@@ -560,13 +580,19 @@ def loss_fn(params, cfg: LlamaConfig, tokens: jnp.ndarray,
             remat: bool = False, flash_train: bool = False) -> jnp.ndarray:
     """Next-token cross entropy over (B, S) token batches. flash_train
     routes attention to the differentiable flash kernel (custom VJP) —
-    the long-context training path."""
-    logits = forward(params, cfg, tokens[:, :-1], use_pallas, remat=remat,
-                     flash_train=flash_train)
+    the long-context training path. MoE configs add the GShard
+    load-balance aux (cfg.moe_aux_weight) so routing trains against
+    expert collapse, not just through the gate gradients."""
+    logits, aux = forward(params, cfg, tokens[:, :-1], use_pallas,
+                          remat=remat, flash_train=flash_train,
+                          return_moe_aux=True)
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
-    return jnp.mean(nll)
+    loss = jnp.mean(nll)
+    if cfg.n_experts > 0:
+        loss = loss + cfg.moe_aux_weight * aux
+    return loss
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "lr"))

@@ -48,7 +48,10 @@ def init_moe_params(key: jax.Array, d_model: int, d_ff: int,
     Default experts are relu MLPs (d -> f -> d); ``swiglu=True`` makes
     them llama-family SwiGLU experts (gate/up/down — the Mixtral
     shape), selected at apply time by the presence of ``w_gate``."""
-    kr, ki, ko, kg = jax.random.split(key, 4)
+    kr, ki, ko = jax.random.split(key, 3)
+    # folded (not a 4-way split) so pre-existing relu-MoE seeds keep
+    # producing the exact same router/w_in/w_out streams
+    kg = jax.random.fold_in(key, 3)
     s_in = d_model ** -0.5
     s_out = d_ff ** -0.5
     params = {
@@ -65,12 +68,14 @@ def init_moe_params(key: jax.Array, d_model: int, d_ff: int,
     return params
 
 
-def _route(logits: jnp.ndarray, k: int, capacity: int):
+def _route(logits: jnp.ndarray, k: int, capacity: int, valid=None):
     """Top-k routing with fixed-capacity queueing.
 
     logits (T, E) -> dispatch (T, E, C) one-hot, combine (T, E, C)
     gate-weighted, aux load-balance loss (GShard §2.2: E * mean_e
-    fraction_e * prob_e; 1.0 at perfect balance)."""
+    fraction_e * prob_e; 1.0 at perfect balance). ``valid`` (T,) bool
+    masks padding tokens: they neither consume capacity nor count in
+    the aux statistics."""
     t, e = logits.shape
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     gate_vals, choice = lax.top_k(probs, k)                  # (T, k)
@@ -81,6 +86,8 @@ def _route(logits: jnp.ndarray, k: int, capacity: int):
     # primary choices precede all secondary ones in the cumsum order
     flat_choice = choice.T.reshape(-1)                       # (k*T,)
     onehot = jax.nn.one_hot(flat_choice, e, dtype=jnp.int32)  # (kT, E)
+    if valid is not None:
+        onehot = onehot * jnp.tile(valid, k).astype(jnp.int32)[:, None]
     pos = jnp.cumsum(onehot, axis=0) - 1                     # queue slot
     pos = jnp.where(onehot > 0, pos, -1)
     pos = jnp.max(pos, axis=-1)                              # (kT,)
@@ -99,11 +106,15 @@ def _route(logits: jnp.ndarray, k: int, capacity: int):
                    jnp.clip(pos, 0, capacity - 1)].add(
         jnp.where(kept, gates_flat, 0.0))
 
-    # load-balance aux: fraction of tokens whose FIRST choice is e,
-    # times mean router prob of e
-    frac = jnp.mean(jax.nn.one_hot(choice[:, 0], e,
-                                   dtype=jnp.float32), axis=0)
-    aux = e * jnp.sum(frac * jnp.mean(probs, axis=0))
+    # load-balance aux: fraction of (valid) tokens whose FIRST choice
+    # is e, times mean router prob of e
+    w = (valid.astype(jnp.float32) if valid is not None
+         else jnp.ones((t,), jnp.float32))
+    nv = jnp.maximum(jnp.sum(w), 1.0)
+    first = jax.nn.one_hot(choice[:, 0], e, dtype=jnp.float32)
+    frac = jnp.sum(first * w[:, None], axis=0) / nv
+    mean_p = jnp.sum(probs * w[:, None], axis=0) / nv
+    aux = e * jnp.sum(frac * mean_p)
     return disp, comb, aux
 
 
@@ -185,23 +196,43 @@ def moe_ffn(params, x: jnp.ndarray, mesh: Mesh, axis: str = "ep",
 
 
 def moe_ffn_local(params, x: jnp.ndarray, k: int = 2,
-                  capacity_factor: float = 2.0,
+                  capacity_factor: float = 2.0, chunk: int = 256,
                   return_aux: bool = False):
     """Single-device routed MoE: the SAME dispatch/capacity/combine math
     as moe_ffn, minus the all_to_alls — the one-chip serving/training
-    path (models/llama uses it when cfg.n_experts > 0). Equal to moe_ffn
-    on a mesh whenever nothing drops; with T_local = T the capacity
-    formula matches moe_ffn's at n=1."""
-    t = x.shape[0]
+    path (models/llama uses it when cfg.n_experts > 0).
+
+    Tokens route in CHUNKS of ``chunk``: capacity is per chunk
+    (C = ceil(k*chunk*cf/E)), so the dispatch one-hots are
+    (n_chunks, chunk, E, C) — memory LINEAR in T, where a whole-batch
+    capacity would be O(T^2) and OOM long-context prefill. Capacity
+    contention (which token drops) is confined to a chunk; with
+    ``capacity_factor >= E/k`` nothing can drop and every token's
+    routing is independent of its co-batch entirely (the determinism
+    the llama family defaults to — see LlamaConfig.moe_dropless).
+    Equal to moe_ffn on a mesh whenever nothing drops."""
+    t, d = x.shape
     e = params["w_in"].shape[0]
-    capacity = max(1, int(-(-k * t * capacity_factor // e)))
+    c = min(chunk, t)
+    n = -(-t // c)
+    pad = n * c - t
+    capacity = max(1, int(-(-k * c * capacity_factor // e)))
     ctype = x.dtype
-    logits = x.astype(jnp.float32) @ params["router"].astype(jnp.float32)
-    disp, comb, aux = _route(logits, k, capacity)
-    buf = jnp.einsum("tec,td->ecd", disp.astype(ctype), x)
-    out = _experts(params, buf, ctype)
-    y = jnp.einsum("tec,ecd->td", comb, out.astype(jnp.float32))
-    y = y.astype(ctype)
+    xc = jnp.pad(x, ((0, pad), (0, 0))).reshape(n, c, d)
+    valid = (jnp.arange(n * c) < t).reshape(n, c)
+    logits = xc.astype(jnp.float32) @ params["router"].astype(jnp.float32)
+    disp, comb, aux = jax.vmap(
+        lambda lg, v: _route(lg, k, capacity, valid=v))(logits, valid)
+    buf = jnp.einsum("ntec,ntd->necd", disp.astype(ctype), xc)
+    out = _experts(params,
+                   buf.transpose(1, 0, 2, 3).reshape(e, n * capacity, d),
+                   ctype)
+    out = out.reshape(e, n, capacity, d).transpose(1, 0, 2, 3)
+    y = jnp.einsum("ntec,necd->ntd", comb, out.astype(jnp.float32))
+    y = y.reshape(n * c, d)[:t].astype(ctype)
+    # padded chunks carry zero weight in the aux mean
+    nv = jnp.sum(valid, axis=1).astype(jnp.float32)
+    aux = jnp.sum(aux * nv) / jnp.maximum(jnp.sum(nv), 1.0)
     return (y, aux) if return_aux else y
 
 

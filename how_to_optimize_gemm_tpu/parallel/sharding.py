@@ -60,10 +60,18 @@ def param_specs(params: dict[str, Any]) -> dict[str, Any]:
             "mlp_norm": P(),
         }
         if "moe" in layer:
-            # MoE expert stacks replicate under TP (expert parallelism
-            # is its own mesh axis — parallel/moe.moe_ffn); the router
-            # is tiny and replicated either way
-            specs["moe"] = jax.tree.map(lambda _: P(), layer["moe"])
+            # Megatron INSIDE each expert: w_in/w_gate column-parallel
+            # on d_ff, w_out row-parallel — XLA psums after the down
+            # projection exactly as for the dense MLP. Without this the
+            # mixtral-class expert stacks (~90 GB bf16 at 8x7B) would
+            # replicate onto every chip. Expert parallelism over an ep
+            # axis (parallel/moe.moe_ffn) composes separately.
+            moe_specs = {"router": P(),
+                         "w_in": P(None, None, "tp"),
+                         "w_out": P(None, "tp", None)}
+            if "w_gate" in layer["moe"]:
+                moe_specs["w_gate"] = P(None, None, "tp")
+            specs["moe"] = moe_specs
         else:
             specs["w_gate"] = _spec_for_linear(layer["w_gate"], col)
             specs["w_up"] = _spec_for_linear(layer["w_up"], col)

@@ -247,3 +247,36 @@ def test_moe_requantize_keeps_experts_dense():
     np.testing.assert_array_equal(
         np.asarray(moe["w_in"]),
         np.asarray(params["layers"][0]["moe"]["w_in"]))
+
+
+def test_moe_loss_includes_aux_and_tp_shards(devices8):
+    """loss_fn adds the load-balance aux for MoE configs, and the
+    expert stacks TP-shard (Megatron inside each expert) so the family
+    is actually deployable."""
+    from how_to_optimize_gemm_tpu.parallel.mesh import make_mesh
+    from how_to_optimize_gemm_tpu.parallel.sharding import (
+        make_sharded_train_step, shard_params)
+
+    params = llama.init_params(jax.random.PRNGKey(0), MOE_CFG)
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (4, 16), 0,
+                                MOE_CFG.vocab)
+    loss = float(llama.loss_fn(params, MOE_CFG, tokens, False))
+    _, aux = llama.forward(params, MOE_CFG, tokens[:, :-1], False,
+                           return_moe_aux=True)
+    assert float(aux) >= 1.0 - 1e-5  # >= 1 by Cauchy-Schwarz at balance
+    # reconstruct the CE-only loss to check the aux add
+    logits = llama.forward(params, MOE_CFG, tokens[:, :-1], False)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+    nll = -jnp.take_along_axis(logp, tokens[:, 1:][..., None], -1)
+    ce = float(jnp.mean(nll))
+    np.testing.assert_allclose(
+        loss, ce + MOE_CFG.moe_aux_weight * float(aux), rtol=1e-5)
+
+    mesh = make_mesh(dp=2, tp=4, devices=devices8)
+    sharded = shard_params(params, mesh)
+    w_in = sharded["layers"][0]["moe"]["w_in"]
+    assert "tp" in str(w_in.sharding.spec)  # d_ff column-sharded
+    step, tok_sh = make_sharded_train_step(MOE_CFG, mesh, lr=0.1)
+    toks = jax.device_put(tokens, tok_sh)
+    new_params, loss2 = step(sharded, toks)
+    assert np.isfinite(float(loss2))

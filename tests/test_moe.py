@@ -104,3 +104,35 @@ def test_moe_local_matches_ep_mesh_swiglu(devices8):
                                rtol=0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_ep), np.asarray(got_local),
                                rtol=0, atol=1e-5)
+
+
+def test_moe_local_chunked_matches_dense():
+    """Chunked routing (memory linear in T, incl. a padded tail chunk)
+    equals the dense oracle at no-drop capacity."""
+    from how_to_optimize_gemm_tpu.parallel.moe import moe_ffn_local
+    params = init_moe_params(jax.random.PRNGKey(21), 16, 32, 8,
+                             swiglu=True)
+    x = jax.random.normal(jax.random.PRNGKey(22), (600, 16), jnp.float32)
+    got = moe_ffn_local(params, x, k=2, capacity_factor=4.0, chunk=256)
+    ref = moe_ffn_dense(params, x, k=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
+def test_moe_local_routing_independent_of_cobatch():
+    """At no-drop capacity a token's output cannot depend on which
+    other tokens share its dispatch (the serving determinism the llama
+    family defaults to)."""
+    from how_to_optimize_gemm_tpu.parallel.moe import moe_ffn_local
+    params = init_moe_params(jax.random.PRNGKey(23), 16, 32, 8,
+                             swiglu=True)
+    mine = jax.random.normal(jax.random.PRNGKey(24), (8, 16), jnp.float32)
+    other_a = jax.random.normal(jax.random.PRNGKey(25), (120, 16))
+    other_b = jnp.zeros((120, 16), jnp.float32)
+    cf = 4.0  # E/k: no drops possible
+    ya = moe_ffn_local(params, jnp.concatenate([mine, other_a]), k=2,
+                       capacity_factor=cf, chunk=128)[:8]
+    yb = moe_ffn_local(params, jnp.concatenate([mine, other_b]), k=2,
+                       capacity_factor=cf, chunk=128)[:8]
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
+                               rtol=0, atol=1e-6)
