@@ -147,6 +147,16 @@ def requantize(params: dict, kind: str) -> dict:
     def walk(node):
         if isinstance(node, dict):
             keys = list(node)
+            if "router" in keys and ("w_in" in keys or "w_in_q" in keys):
+                # MoE expert stacks: int8 quantizes them (W8A16
+                # experts, parallel/moe.quantize_moe); every other kind
+                # keeps/returns dense stacks (4-bit expert packing is
+                # not implemented — the stacked layout would need its
+                # own pack geometry)
+                from how_to_optimize_gemm_tpu.parallel.moe import (
+                    dequantize_moe, quantize_moe)
+                return (quantize_moe(node) if kind == "int8"
+                        else dequantize_moe(node))
             if keys and all("_" in k for k in keys) and any(
                     k.split("_")[0] in ("fp32", "bf16", "int8", "int4",
                                         "w4a8")

@@ -118,18 +118,58 @@ def _route(logits: jnp.ndarray, k: int, capacity: int, valid=None):
     return disp, comb, aux
 
 
+def _n_experts(params) -> int:
+    return params["w_in_q" if "w_in_q" in params else "w_in"].shape[0]
+
+
+def quantize_moe(params: dict) -> dict:
+    """int8 expert stacks (W8A16 experts): symmetric per-(expert,
+    out-column) scales, chgemm [-127,127] convention (ops/quant).
+    The router stays fp32 — it is tiny and routing-precision-critical.
+    _experts applies the scales in the einsum epilogue so XLA fuses the
+    int8->compute-dtype convert into the matmul; the stacks live in HBM
+    at 1 B/elt (4x less than fp32, 2x less than bf16)."""
+    from how_to_optimize_gemm_tpu.ops.quant import quantize_symmetric
+    out = {"router": params["router"]}
+    for name in ("w_in", "w_out", "w_gate"):
+        if name in params:
+            q, s = quantize_symmetric(params[name], axis=1)
+            out[name + "_q"] = q
+            out[name + "_s"] = s.astype(jnp.float32)
+        elif name + "_q" in params:     # already quantized
+            out[name + "_q"] = params[name + "_q"]
+            out[name + "_s"] = params[name + "_s"]
+    return out
+
+
+def dequantize_moe(params: dict) -> dict:
+    """Inverse of quantize_moe (up to quantization error), fp32."""
+    out = {"router": params["router"]}
+    for name in ("w_in", "w_out", "w_gate"):
+        if name in params:
+            out[name] = params[name]
+        elif name + "_q" in params:
+            out[name] = (params[name + "_q"].astype(jnp.float32)
+                         * params[name + "_s"])
+    return out
+
+
 def _experts(params, x, ctype):
     """Batched per-expert FFN: x (E, S, d) -> (E, S, d). SwiGLU when
-    the params carry a gate stack, relu MLP otherwise."""
-    w_in = params["w_in"].astype(ctype)
-    w_out = params["w_out"].astype(ctype)
-    if "w_gate" in params:
-        g = jax.nn.silu(jnp.einsum("esd,edf->esf", x,
-                                   params["w_gate"].astype(ctype)))
-        h = g * jnp.einsum("esd,edf->esf", x, w_in)
+    the params carry a gate stack, relu MLP otherwise; dense or int8
+    stacks (quantize_moe) per weight."""
+    def mm(name, inp, eq):
+        if name in params:
+            return jnp.einsum(eq, inp, params[name].astype(ctype))
+        y = jnp.einsum(eq, inp, params[name + "_q"].astype(ctype))
+        return y * params[name + "_s"].astype(ctype)
+
+    if "w_gate" in params or "w_gate_q" in params:
+        g = jax.nn.silu(mm("w_gate", x, "esd,edf->esf"))
+        h = g * mm("w_in", x, "esd,edf->esf")
     else:
-        h = jax.nn.relu(jnp.einsum("esd,edf->esf", x, w_in))
-    return jnp.einsum("esf,efd->esd", h, w_out)
+        h = jax.nn.relu(mm("w_in", x, "esd,edf->esf"))
+    return mm("w_out", h, "esf,efd->esd")
 
 
 def _moe_local(params, x, *, axis: str, k: int, capacity: int):
@@ -186,7 +226,7 @@ def moe_ffn(params, x: jnp.ndarray, mesh: Mesh, axis: str = "ep",
     drops impossible: cf >= E/k guarantees none)."""
     n = mesh.shape[axis]
     t, _ = x.shape
-    e = params["w_in"].shape[0]
+    e = _n_experts(params)
     assert t % n == 0, (t, n)
     assert e % n == 0, (e, n)
     tl = t // n
@@ -212,7 +252,7 @@ def moe_ffn_local(params, x: jnp.ndarray, k: int = 2,
     the llama family defaults to — see LlamaConfig.moe_dropless).
     Equal to moe_ffn on a mesh whenever nothing drops."""
     t, d = x.shape
-    e = params["w_in"].shape[0]
+    e = _n_experts(params)
     c = min(chunk, t)
     n = -(-t // c)
     pad = n * c - t
@@ -246,8 +286,7 @@ def moe_ffn_dense(params, x: jnp.ndarray, k: int = 2) -> jnp.ndarray:
     # every expert computes every token; combine picks the chosen ones
     outs = _experts(params,
                     jnp.broadcast_to(x.astype(jnp.float32),
-                                     (params["w_in"].shape[0],
-                                      *x.shape)),
+                                     (_n_experts(params), *x.shape)),
                     jnp.float32)                              # (E, T, d)
     y = jnp.zeros_like(x, jnp.float32)
     for j in range(k):

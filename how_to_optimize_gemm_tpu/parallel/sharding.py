@@ -66,12 +66,18 @@ def param_specs(params: dict[str, Any]) -> dict[str, Any]:
             # mixtral-class expert stacks (~90 GB bf16 at 8x7B) would
             # replicate onto every chip. Expert parallelism over an ep
             # axis (parallel/moe.moe_ffn) composes separately.
-            moe_specs = {"router": P(),
-                         "w_in": P(None, None, "tp"),
-                         "w_out": P(None, "tp", None)}
-            if "w_gate" in layer["moe"]:
-                moe_specs["w_gate"] = P(None, None, "tp")
-            specs["moe"] = moe_specs
+            col3 = P(None, None, "tp")
+            row3 = P(None, "tp", None)
+            moe_table = {
+                "router": P(),
+                "w_in": col3, "w_in_q": col3, "w_in_s": col3,
+                "w_gate": col3, "w_gate_q": col3, "w_gate_s": col3,
+                "w_out": row3, "w_out_q": row3,
+                # scales of the row-sharded down projection are per
+                # output column -> replicated
+                "w_out_s": P(),
+            }
+            specs["moe"] = {k: moe_table[k] for k in layer["moe"]}
         else:
             specs["w_gate"] = _spec_for_linear(layer["w_gate"], col)
             specs["w_up"] = _spec_for_linear(layer["w_up"], col)

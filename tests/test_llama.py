@@ -238,15 +238,38 @@ def test_moe_train_step_moves_router():
     assert not np.array_equal(router0, router1)
 
 
-def test_moe_requantize_keeps_experts_dense():
+def test_moe_requantize_int8_experts():
+    """requantize(int8) quantizes the expert stacks too (W8A16 experts,
+    1 B/elt in HBM); other kinds keep them dense. The quantized model's
+    stepped decode still equals its own prefill."""
     params = llama.init_params(jax.random.PRNGKey(0), MOE_CFG)
     q = llama.requantize(params, "int8")
     assert "int8_qw" in q["layers"][0]["wq"]
     moe = q["layers"][0]["moe"]
-    assert set(moe) == {"router", "w_in", "w_out", "w_gate"}
-    np.testing.assert_array_equal(
-        np.asarray(moe["w_in"]),
-        np.asarray(params["layers"][0]["moe"]["w_in"]))
+    assert moe["w_in_q"].dtype == jnp.int8
+    assert set(moe) == {"router", "w_in_q", "w_in_s", "w_out_q",
+                        "w_out_s", "w_gate_q", "w_gate_s"}
+    # bf16 requantize keeps (here: restores) dense stacks
+    dense = llama.requantize(q, "bf16")["layers"][0]["moe"]
+    assert "w_in" in dense and dense["w_in"].dtype == jnp.float32
+    # quantized forward close to the dense model, not equal
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (1, 6), 0,
+                                MOE_CFG.vocab)
+    fq = llama.forward(q, MOE_CFG, tokens, use_pallas=False)
+    fd = llama.forward(params, MOE_CFG, tokens, use_pallas=False)
+    assert np.isfinite(np.asarray(fq)).all()
+    err = float(jnp.max(jnp.abs(fq - fd)) / jnp.max(jnp.abs(fd)))
+    assert err < 0.1, err
+    # decode == prefill ON the quantized model
+    cache = llama.init_kv_cache(MOE_CFG, batch=1, dtype=jnp.float32)
+    outs = []
+    for t in range(tokens.shape[1]):
+        logits, cache = llama.decode_step(
+            q, MOE_CFG, cache, tokens[:, t:t + 1], jnp.int32(t),
+            use_pallas=False)
+        outs.append(logits[:, 0])
+    np.testing.assert_allclose(np.asarray(jnp.stack(outs, 1)),
+                               np.asarray(fq), rtol=2e-4, atol=2e-4)
 
 
 def test_moe_loss_includes_aux_and_tp_shards(devices8):

@@ -95,3 +95,21 @@ def test_pipeline_rejects_bad_microbatching(devices8):
     with pytest.raises(AssertionError):
         pipeline_apply(_mlp_stage, stack_stages(stages), x, mesh,
                        n_micro=4)
+
+
+def test_llama_pp_forward_moe(devices8):
+    """PP composes with the MoE family: stage stacking works on the
+    routed-MLP layer dicts too."""
+    from how_to_optimize_gemm_tpu.models import llama
+    pp = 4
+    mesh = make_axis_mesh(devices=devices8[:pp], pp=pp)
+    cfg = llama.LlamaConfig(vocab=64, d_model=32, n_layers=4, n_heads=4,
+                            n_kv_heads=2, d_ff=64, max_seq=16,
+                            weight_kind="fp32", n_experts=4)
+    params = llama.init_params(jax.random.PRNGKey(6), cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(7), (4, 16), 0,
+                                cfg.vocab)
+    got = llama_pp_forward(params, cfg, tokens, mesh, n_micro=2)
+    ref = llama.forward(params, cfg, tokens, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=2e-5)
