@@ -45,11 +45,17 @@ class LlamaConfig:
     # to the realized routing). moe_dropless=False uses moe_capacity
     # (GShard semantics: overflow tokens drop, output depends on the
     # co-batch — acceptable in training, surprising in serving).
+    # moe_ragged=True routes the MLP through the Pallas grouped GEMM
+    # (ops/pallas_grouped_gemm): dropless AND overcompute-free (each
+    # expert multiplies exactly its own token segment). Inference-only
+    # until the kernel grows a custom VJP — training configs keep the
+    # differentiable dispatch path. Needs d_ff % 128 == 0 on real TPUs.
     n_experts: int = 0
     moe_top_k: int = 2
     moe_capacity: float = 2.0
     moe_dropless: bool = True
     moe_aux_weight: float = 0.01
+    moe_ragged: bool = False
 
     @property
     def d_head(self) -> int:
@@ -301,8 +307,13 @@ def _mlp(layer, cfg: LlamaConfig, y, use_pallas):
     expert-parallel moe_ffn, minus the all_to_alls). Returns (out, aux)
     — aux is the GShard load-balance loss (0 for the dense MLP)."""
     if "moe" in layer:
-        from how_to_optimize_gemm_tpu.parallel.moe import moe_ffn_local
+        from how_to_optimize_gemm_tpu.parallel.moe import (
+            moe_ffn_local, moe_ffn_ragged)
         b, s, d = y.shape
+        if cfg.moe_ragged:
+            out, aux = moe_ffn_ragged(layer["moe"], y.reshape(b * s, d),
+                                      k=cfg.moe_top_k, return_aux=True)
+            return out.reshape(b, s, d), aux
         cf = cfg.moe_capacity
         if cfg.moe_dropless:
             # per-chunk no-drop: routing independent of the co-batch

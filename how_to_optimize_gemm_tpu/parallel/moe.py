@@ -293,3 +293,92 @@ def moe_ffn_dense(params, x: jnp.ndarray, k: int = 2) -> jnp.ndarray:
         y = y + gate_vals[:, j:j + 1] * jnp.take_along_axis(
             outs, choice[:, j][None, :, None], axis=0)[0]
     return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Ragged (dropless, overcompute-free) path: Pallas grouped GEMM.
+
+def _ragged_layout(flat_exp: jnp.ndarray, t: int, e: int, k: int,
+                   bt: int):
+    """Expert-sorted, bt-aligned destination layout for grouped_matmul.
+
+    flat_exp (k*T,) expert ids in first-choices-first order. Returns
+    (stok, sgate_order, dest, block_expert, tp): sorted token ids, the
+    sort permutation (to reorder gates), each routed copy's destination
+    row, the per-block expert map, and the padded row count (a STATIC
+    upper bound — ceil(kT/bt)*bt + E*bt — so shapes stay jit-friendly
+    while the true per-expert padding is data-dependent)."""
+    kt = flat_exp.shape[0]
+    order = jnp.argsort(flat_exp, stable=True)
+    sexp = flat_exp[order]
+    counts = jnp.zeros((e,), jnp.int32).at[flat_exp].add(1)
+    padded = ((counts + bt - 1) // bt) * bt
+    cum_pad = jnp.cumsum(padded)
+    offs = cum_pad - padded                       # segment starts
+    cum_cnt = jnp.cumsum(counts)
+    seg_start = cum_cnt - counts
+    pos = jnp.arange(kt) - seg_start[sexp]
+    dest = offs[sexp] + pos
+    tp = (-(-kt // bt)) * bt + e * bt
+    block_expert = jnp.searchsorted(cum_pad,
+                                    jnp.arange(tp // bt) * bt,
+                                    side="right")
+    block_expert = jnp.clip(block_expert, 0, e - 1)
+    tok = jnp.tile(jnp.arange(t), k)
+    return tok[order], order, dest, block_expert, tp
+
+
+def moe_ffn_ragged(params, x: jnp.ndarray, k: int = 2, bt: int = 128,
+                   bf: int = 512, interpret: bool | None = None,
+                   return_aux: bool = False):
+    """Dropless routed MoE with NO static-shape overcompute: tokens are
+    expert-sorted and each expert multiplies exactly its own (bt-padded)
+    row segment through the Pallas grouped GEMM
+    (ops/pallas_grouped_gemm — scalar-prefetched block->expert map).
+
+    vs the dispatch path: block-dispatch droplessness costs E/k x the
+    useful expert FLOPs; this path costs ~1x + at most one padded block
+    per expert. Works on dense or int8 expert stacks (scales applied in
+    the kernel epilogue). INFERENCE path: the kernel has no custom VJP
+    yet — training uses moe_ffn_local/moe_ffn (models/llama routes by
+    cfg.moe_ragged). f (d_ff) must be 128-aligned on real TPUs."""
+    from how_to_optimize_gemm_tpu.ops.pallas_grouped_gemm import (
+        grouped_matmul)
+
+    t, d = x.shape
+    e = _n_experts(params)
+    ctype = x.dtype
+    logits = x.astype(jnp.float32) @ params["router"].astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    gate_vals, choice = lax.top_k(probs, k)
+    gate_vals = gate_vals / jnp.sum(gate_vals, -1, keepdims=True)
+    flat_exp = choice.T.reshape(-1)
+    stok, order, dest, block_expert, tp = _ragged_layout(
+        flat_exp, t, e, k, bt)
+    xs = jnp.zeros((tp, d), ctype).at[dest].set(x[stok])
+
+    def gm(name, inp):
+        if name in params:
+            return grouped_matmul(inp, params[name].astype(ctype),
+                                  block_expert, bt=bt, bf=bf,
+                                  interpret=interpret)
+        return grouped_matmul(inp, params[name + "_q"].astype(ctype),
+                              block_expert, params[name + "_s"],
+                              bt=bt, bf=bf, interpret=interpret)
+
+    if "w_gate" in params or "w_gate_q" in params:
+        h = jax.nn.silu(gm("w_gate", xs)) * gm("w_in", xs)
+    else:
+        h = jax.nn.relu(gm("w_in", xs))
+    ys = gm("w_out", h)
+
+    sgate = gate_vals.T.reshape(-1)[order]
+    out = jnp.zeros((t, d), jnp.float32).at[stok].add(
+        ys[dest].astype(jnp.float32) * sgate[:, None])
+    out = out.astype(ctype)
+    if not return_aux:
+        return out
+    frac = jnp.mean(jax.nn.one_hot(choice[:, 0], e, dtype=jnp.float32),
+                    axis=0)
+    aux = e * jnp.sum(frac * jnp.mean(probs, axis=0))
+    return out, aux

@@ -1,0 +1,75 @@
+"""Grouped (ragged) GEMM kernel + the dropless overcompute-free MoE."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from how_to_optimize_gemm_tpu.ops.pallas_grouped_gemm import grouped_matmul
+from how_to_optimize_gemm_tpu.parallel.moe import (
+    init_moe_params, moe_ffn_dense, moe_ffn_ragged, quantize_moe)
+
+
+def test_grouped_matmul_matches_segments():
+    e, d, f, bt = 3, 32, 256, 8
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (e, d, f), jnp.float32) / d ** 0.5
+    block_expert = jnp.asarray([0, 0, 1, 2, 2, 2], jnp.int32)
+    tp = len(block_expert) * bt
+    x = jax.random.normal(jax.random.PRNGKey(1), (tp, d), jnp.float32)
+    got = grouped_matmul(x, w, block_expert, bt=bt, bf=128)
+    ref = jnp.concatenate([x[i * bt:(i + 1) * bt] @ w[int(be)]
+                           for i, be in enumerate(block_expert)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
+def test_grouped_matmul_int8_scales():
+    e, d, f, bt = 2, 16, 128, 8
+    q = jax.random.randint(jax.random.PRNGKey(2), (e, d, f), -127, 128
+                           ).astype(jnp.int8)
+    s = jax.random.uniform(jax.random.PRNGKey(3), (e, 1, f),
+                           jnp.float32, 0.01, 0.02)
+    block_expert = jnp.asarray([1, 0], jnp.int32)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2 * bt, d), jnp.float32)
+    got = grouped_matmul(x, q.astype(jnp.float32), block_expert, s,
+                         bt=bt, bf=128)
+    ref = jnp.concatenate([
+        (x[:bt] @ q[1].astype(jnp.float32)) * s[1],
+        (x[bt:] @ q[0].astype(jnp.float32)) * s[0]])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-4)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_moe_ragged_matches_dense(quantized):
+    """Dropless by construction: the ragged path equals the dense
+    per-token oracle with NO capacity factor at all."""
+    params = init_moe_params(jax.random.PRNGKey(5), 16, 128, 4,
+                             swiglu=True)
+    if quantized:
+        params = quantize_moe(params)
+    x = jax.random.normal(jax.random.PRNGKey(6), (100, 16), jnp.float32)
+    got, aux = moe_ffn_ragged(params, x, k=2, bt=8, return_aux=True)
+    ref = moe_ffn_dense(params, x, k=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+    assert float(aux) >= 1.0 - 1e-5
+
+
+def test_llama_moe_ragged_decode_matches_dispatch():
+    """cfg.moe_ragged routes the MLP through the grouped GEMM; output
+    equals the (dropless) dispatch path."""
+    from how_to_optimize_gemm_tpu.models import llama
+    base = llama.LlamaConfig(vocab=64, d_model=32, n_layers=2, n_heads=4,
+                             n_kv_heads=2, d_ff=128, max_seq=32,
+                             weight_kind="fp32", n_experts=4)
+    ragged = dataclasses.replace(base, moe_ragged=True)
+    params = llama.init_params(jax.random.PRNGKey(0), base)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0,
+                                base.vocab)
+    fa = llama.forward(params, base, tokens, use_pallas=False)
+    fb = llama.forward(params, ragged, tokens, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                               rtol=0, atol=2e-5)
