@@ -47,9 +47,9 @@ class LlamaConfig:
     # co-batch — acceptable in training, surprising in serving).
     # moe_ragged=True routes the MLP through the Pallas grouped GEMM
     # (ops/pallas_grouped_gemm): dropless AND overcompute-free (each
-    # expert multiplies exactly its own token segment). Inference-only
-    # until the kernel grows a custom VJP — training configs keep the
-    # differentiable dispatch path. Needs d_ff % 128 == 0 on real TPUs.
+    # expert multiplies exactly its own token segment). Differentiable
+    # on dense expert stacks (custom VJP); int8 expert stacks are
+    # inference-only on this path. Needs d_ff % 128 == 0 on real TPUs.
     n_experts: int = 0
     moe_top_k: int = 2
     moe_capacity: float = 2.0

@@ -47,17 +47,9 @@ def _kernel_noscale(be_ref, x_ref, w_ref, o_ref):
     _kernel(be_ref, x_ref, w_ref, None, o_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("bt", "bf", "interpret"))
-def grouped_matmul(x, w, block_expert, scales=None, *, bt: int = 128,
-                   bf: int = 512, interpret: bool | None = None):
-    """Ragged y[i*bt:(i+1)*bt] = x[i*bt:(i+1)*bt] @ w[block_expert[i]].
-
-    x (Tp, d) expert-sorted tokens (segments bt-aligned, zero-padded);
-    w (E, d, f) expert stacks; block_expert (Tp//bt,) int32 scalar-
-    prefetch map; optional ``scales`` (E, 1, f) applied per output
-    column (the int8 expert-stack epilogue). d and f must be lane/
-    sublane friendly (f % 128 == 0, d % 8 == 0); bf caps the streamed
-    weight block (d*bf*elt bytes of VMEM per step)."""
+def _gmm_call(x, w, block_expert, scales, bt: int, bf: int,
+              interpret: bool | None):
+    """Raw pallas_call wrapper (no VJP) — see grouped_matmul."""
     tp, d = x.shape
     e, dw, f = w.shape
     assert dw == d and tp % bt == 0, (x.shape, w.shape, bt)
@@ -94,3 +86,101 @@ def grouped_matmul(x, w, block_expert, scales=None, *, bt: int = 128,
         ),
         interpret=default_interpret(interpret),
     )(block_expert.astype(jnp.int32), *operands)
+
+
+def _dw_kernel(be_ref, x_ref, dy_ref, o_ref):
+    """dW[be[i]] += x_i^T @ dy_i, accumulated across the consecutive
+    same-expert blocks the sorted layout guarantees. Grid is
+    (f-blocks, token-blocks) with the token dim INNERMOST so each
+    output tile's revisits are consecutive (Mosaic's accumulation
+    contract)."""
+    i = pl.program_id(1)
+    prev = be_ref[jnp.maximum(i - 1, 0)]
+    first = (i == 0) | (be_ref[i] != prev)
+    contrib = jax.lax.dot_general(
+        x_ref[:], dy_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (d, bf)
+
+    @pl.when(first)
+    def _init():
+        o_ref[0] = contrib
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        o_ref[0] += contrib
+
+
+def _grouped_dw(x, dy, block_expert, e: int, bt: int, bf: int,
+                interpret: bool | None):
+    """(E, d, f) fp32 = segment-sum of per-block outer products.
+    Requires every expert to own >= 1 block (the layout guarantees it)
+    so no output tile is left unwritten."""
+    tp, d = x.shape
+    f = dy.shape[1]
+    bf = min(bf, f)
+    nb = tp // bt
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(f // bf, nb),
+        in_specs=[
+            pl.BlockSpec((bt, d), lambda j, i, be: (i, 0)),
+            pl.BlockSpec((bt, bf), lambda j, i, be: (i, j)),
+        ],
+        out_specs=pl.BlockSpec((1, d, bf),
+                               lambda j, i, be: (be[i], 0, j)),
+    )
+    return pl.pallas_call(
+        _dw_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e, d, f), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=default_interpret(interpret),
+    )(block_expert.astype(jnp.int32), x, dy)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _gmm_dense(x, w, block_expert, bt, bf, interpret):
+    return _gmm_call(x, w, block_expert, None, bt, bf, interpret)
+
+
+def _gmm_dense_fwd(x, w, block_expert, bt, bf, interpret):
+    y = _gmm_call(x, w, block_expert, None, bt, bf, interpret)
+    return y, (x, w, block_expert)
+
+
+def _gmm_dense_bwd(bt, bf, interpret, res, dy):
+    import numpy as np
+    x, w, block_expert = res
+    # dx_i = dy_i @ w[be[i]]^T — the same grouped matmul, transposed
+    dx = _gmm_call(dy, w.transpose(0, 2, 1), block_expert, None,
+                   bt, bf, interpret)
+    dw = _grouped_dw(x.astype(dy.dtype), dy, block_expert, w.shape[0],
+                     bt, bf, interpret)
+    return (dx.astype(x.dtype), dw.astype(w.dtype),
+            np.zeros(block_expert.shape, jax.dtypes.float0))
+
+
+_gmm_dense.defvjp(_gmm_dense_fwd, _gmm_dense_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "bf", "interpret"))
+def grouped_matmul(x, w, block_expert, scales=None, *, bt: int = 128,
+                   bf: int = 512, interpret: bool | None = None):
+    """Ragged y[i*bt:(i+1)*bt] = x[i*bt:(i+1)*bt] @ w[block_expert[i]].
+
+    x (Tp, d) expert-sorted tokens (segments bt-aligned, zero-padded);
+    w (E, d, f) expert stacks; block_expert (Tp//bt,) int32 scalar-
+    prefetch map; optional ``scales`` (E, 1, f) applied per output
+    column (the int8 expert-stack epilogue). d and f must be lane/
+    sublane friendly (f % 128 == 0, d % 8 == 0); bf caps the streamed
+    weight block (d*bf*elt bytes of VMEM per step).
+
+    The dense form (scales=None) is DIFFERENTIABLE (custom VJP: dx is
+    the transposed grouped matmul; dW a revisited-output segment-sum
+    kernel over the sorted blocks); the scaled int8 form is
+    inference-only."""
+    if scales is None:
+        return _gmm_dense(x, w, block_expert, bt, bf, interpret)
+    return _gmm_call(x, w, block_expert, scales, bt, bf, interpret)

@@ -312,7 +312,10 @@ def _ragged_layout(flat_exp: jnp.ndarray, t: int, e: int, k: int,
     order = jnp.argsort(flat_exp, stable=True)
     sexp = flat_exp[order]
     counts = jnp.zeros((e,), jnp.int32).at[flat_exp].add(1)
-    padded = ((counts + bt - 1) // bt) * bt
+    # every expert owns >= 1 block (a zero-token expert gets one block
+    # of zero rows): the dW backward kernel writes each expert's tile
+    # at least once, and the forward cost is one trivial block
+    padded = jnp.maximum(((counts + bt - 1) // bt) * bt, bt)
     cum_pad = jnp.cumsum(padded)
     offs = cum_pad - padded                       # segment starts
     cum_cnt = jnp.cumsum(counts)
