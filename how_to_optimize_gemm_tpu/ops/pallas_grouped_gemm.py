@@ -34,10 +34,28 @@ from jax.experimental.pallas import tpu as pltpu
 from how_to_optimize_gemm_tpu.utils.env import default_interpret
 
 
+def _pick_block(dim: int, cap: int) -> int:
+    """Largest 128-multiple divisor of ``dim`` that is <= cap; the whole
+    dim when it already fits or when no aligned divisor exists (the
+    ladder's least-waste rule — a non-divisor block would force
+    padding; bounds._least_waste is the same discipline)."""
+    if dim <= cap:
+        return dim
+    b = (cap // 128) * 128
+    while b >= 128:
+        if dim % b == 0:
+            return b
+        b -= 128
+    return dim
+
+
 def _kernel(be_ref, x_ref, w_ref, s_ref, o_ref):
     del be_ref  # consumed by the index_maps
-    acc = jnp.dot(x_ref[:], w_ref[0],
-                  preferred_element_type=jnp.float32)
+    # int8 expert stacks convert per-BLOCK in VMEM (the stack streams
+    # from HBM at 1 B/elt; converting outside the pallas_call would
+    # materialize a full dense copy in HBM)
+    w = w_ref[0].astype(x_ref.dtype)
+    acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
     if s_ref is not None:
         acc = acc * s_ref[0]
     o_ref[:] = acc.astype(o_ref.dtype)
@@ -53,8 +71,7 @@ def _gmm_call(x, w, block_expert, scales, bt: int, bf: int,
     tp, d = x.shape
     e, dw, f = w.shape
     assert dw == d and tp % bt == 0, (x.shape, w.shape, bt)
-    bf = min(bf, f)
-    assert f % bf == 0, (f, bf)
+    bf = _pick_block(f, bf)
     nb = tp // bt
     assert block_expert.shape == (nb,), (block_expert.shape, nb)
 
@@ -88,6 +105,49 @@ def _gmm_call(x, w, block_expert, scales, bt: int, bf: int,
     )(block_expert.astype(jnp.int32), *operands)
 
 
+def _kernel_t(be_ref, x_ref, w_ref, o_ref):
+    """dx block: contract over w's LAST dim (f) without a transposed
+    copy of the stack — dx_i = dy_i @ w[be[i]]^T expressed as a
+    dot_general with swapped contracting dims."""
+    del be_ref
+    w = w_ref[0].astype(x_ref.dtype)                  # (bo, f)
+    o_ref[:] = jax.lax.dot_general(
+        x_ref[:], w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _gmm_call_t(x, w, block_expert, bt: int, bo_cap: int,
+                interpret: bool | None):
+    """Ragged y[i*bt:(i+1)*bt] = x[i*bt:(i+1)*bt] @ w[be[i]]^T.
+
+    x (Tp, f); w (E, dout, f); returns (Tp, dout). The weight block is
+    (bo, f) — full contraction dim resident; bo chosen as a divisor of
+    dout under the cap."""
+    tp, f = x.shape
+    e, dout, fw = w.shape
+    assert fw == f and tp % bt == 0, (x.shape, w.shape, bt)
+    bo = _pick_block(dout, bo_cap)
+    nb = tp // bt
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, dout // bo),
+        in_specs=[
+            pl.BlockSpec((bt, f), lambda i, j, be: (i, 0)),
+            pl.BlockSpec((1, bo, f), lambda i, j, be: (be[i], j, 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, bo), lambda i, j, be: (i, j)),
+    )
+    return pl.pallas_call(
+        _kernel_t,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tp, dout), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=default_interpret(interpret),
+    )(block_expert.astype(jnp.int32), x, w)
+
+
 def _dw_kernel(be_ref, x_ref, dy_ref, o_ref):
     """dW[be[i]] += x_i^T @ dy_i, accumulated across the consecutive
     same-expert blocks the sorted layout guarantees. Grid is
@@ -117,7 +177,7 @@ def _grouped_dw(x, dy, block_expert, e: int, bt: int, bf: int,
     so no output tile is left unwritten."""
     tp, d = x.shape
     f = dy.shape[1]
-    bf = min(bf, f)
+    bf = _pick_block(f, bf)
     nb = tp // bt
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -153,9 +213,10 @@ def _gmm_dense_fwd(x, w, block_expert, bt, bf, interpret):
 def _gmm_dense_bwd(bt, bf, interpret, res, dy):
     import numpy as np
     x, w, block_expert = res
-    # dx_i = dy_i @ w[be[i]]^T — the same grouped matmul, transposed
-    dx = _gmm_call(dy, w.transpose(0, 2, 1), block_expert, None,
-                   bt, bf, interpret)
+    # dx_i = dy_i @ w[be[i]]^T — transposed-contraction kernel reading
+    # the stack in place (a w.transpose() here would materialize an
+    # (E, f, d) copy in HBM every backward step)
+    dx = _gmm_call_t(dy, w, block_expert, bt, bf, interpret)
     dw = _grouped_dw(x.astype(dy.dtype), dy, block_expert, w.shape[0],
                      bt, bf, interpret)
     return (dx.astype(x.dtype), dw.astype(w.dtype),

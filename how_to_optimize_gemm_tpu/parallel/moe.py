@@ -341,10 +341,13 @@ def moe_ffn_ragged(params, x: jnp.ndarray, k: int = 2, bt: int = 128,
 
     vs the dispatch path: block-dispatch droplessness costs E/k x the
     useful expert FLOPs; this path costs ~1x + at most one padded block
-    per expert. Works on dense or int8 expert stacks (scales applied in
-    the kernel epilogue). INFERENCE path: the kernel has no custom VJP
-    yet — training uses moe_ffn_local/moe_ffn (models/llama routes by
-    cfg.moe_ragged). f (d_ff) must be 128-aligned on real TPUs."""
+    per expert. Works on dense or int8 expert stacks (the stack streams
+    at its stored width; int8 converts per-block in VMEM, scales in the
+    kernel epilogue). TRAINS on dense stacks (custom VJP: transposed-
+    contraction dx kernel + revisited-output dW kernel; gradient
+    equality vs the dispatch path in tests/test_grouped_gemm.py); the
+    int8-stack form is inference-only. f (d_ff) must be 128-aligned on
+    real TPUs."""
     from how_to_optimize_gemm_tpu.ops.pallas_grouped_gemm import (
         grouped_matmul)
 
@@ -361,11 +364,13 @@ def moe_ffn_ragged(params, x: jnp.ndarray, k: int = 2, bt: int = 128,
     xs = jnp.zeros((tp, d), ctype).at[dest].set(x[stok])
 
     def gm(name, inp):
+        # stacks stream AT THEIR STORED WIDTH (int8 = 1 B/elt of HBM
+        # traffic) and convert per-block inside the kernel — an astype
+        # here would materialize a dense copy in HBM
         if name in params:
-            return grouped_matmul(inp, params[name].astype(ctype),
-                                  block_expert, bt=bt, bf=bf,
-                                  interpret=interpret)
-        return grouped_matmul(inp, params[name + "_q"].astype(ctype),
+            return grouped_matmul(inp, params[name], block_expert,
+                                  bt=bt, bf=bf, interpret=interpret)
+        return grouped_matmul(inp, params[name + "_q"],
                               block_expert, params[name + "_s"],
                               bt=bt, bf=bf, interpret=interpret)
 

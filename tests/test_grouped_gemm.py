@@ -126,3 +126,31 @@ def test_moe_ragged_gradients_match_dispatch():
     for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-5)
+
+
+def test_grouped_matmul_non_multiple_f():
+    """f that is not a multiple of the block cap (the llama-7B
+    d_ff=11008 family of shapes) picks a 128-aligned DIVISOR instead of
+    crashing — the ladder's least-waste rule."""
+    params = init_moe_params(jax.random.PRNGKey(30), 16, 1280, 4,
+                             swiglu=True)
+    x = jax.random.normal(jax.random.PRNGKey(31), (40, 16), jnp.float32)
+    got = moe_ffn_ragged(params, x, k=2, bt=8)
+    ref = moe_ffn_dense(params, x, k=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+    # and it still trains at these shapes
+    g = jax.grad(lambda p: jnp.sum(moe_ffn_ragged(p, x, k=2, bt=8) ** 2)
+                 )(params)
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
+
+
+def test_pick_block_divisors():
+    from how_to_optimize_gemm_tpu.ops.pallas_grouped_gemm import (
+        _pick_block)
+    assert _pick_block(11008, 512) == 256      # 11008 = 256 * 43
+    assert _pick_block(14336, 512) == 512
+    assert _pick_block(256, 512) == 256
+    assert _pick_block(1280, 512) == 256
+    assert _pick_block(128 * 37, 512) == 128   # prime co-factor: 128
+    assert _pick_block(192, 128) == 192        # no aligned divisor
