@@ -172,41 +172,65 @@ def _experts(params, x, ctype):
     return mm("w_out", h, "esf,efd->esd")
 
 
-def _moe_local(params, x, *, axis: str, k: int, capacity: int):
+def _moe_local(params, x, *, axis: str, k: int, capacity: int,
+               chunk: int):
     """shard_map body: x (T_local, d) token shard; params replicated
-    except the expert stacks, sharded (E_local, ...) on ``axis``."""
+    except the expert stacks, sharded (E_local, ...) on ``axis``.
+
+    Tokens route in CHUNKS (capacity is per chunk) exactly like
+    moe_ffn_local, so dispatch memory and per-hop all_to_all buffers
+    stay linear in T_local; the chunk loop is a lax.map whose body
+    carries the two all_to_alls (collectives inside scan are one
+    program per chunk — same ICI bytes, bounded buffers)."""
     # router math in fp32 (softmax/top-k precision); everything that
     # crosses ICI or hits the MXU stays in the ACTIVATION dtype — with
     # bf16 models the all_to_all buffers are half the bytes of an fp32
     # implementation, on the bandwidth-critical collective
     ctype = x.dtype
-    logits = x.astype(jnp.float32) @ params["router"].astype(jnp.float32)
-    disp, comb, aux = _route(logits, k, capacity)
-    # local dispatch buffers for ALL experts: (E, C, d)
-    buf = jnp.einsum("tec,td->ecd", disp.astype(ctype), x)
-    # all_to_all out: every device keeps its own experts' slots from
-    # every peer -> (E_local, n*C, d)
-    buf = lax.all_to_all(buf, axis, split_axis=0, concat_axis=1,
-                         tiled=True)
-    out = _experts(params, buf, ctype)
-    # all_to_all back: slots return to the device that dispatched them
-    out = lax.all_to_all(out, axis, split_axis=1, concat_axis=0,
-                         tiled=True)                          # (E, C, d)
-    # combine in fp32: the gate weights live there and the buffer is
-    # local (no ICI cost)
-    y = jnp.einsum("tec,ecd->td", comb, out.astype(jnp.float32))
-    return y.astype(ctype), lax.pmean(aux, axis)
+    tl, d = x.shape
+    c = min(chunk, tl)
+    nch = -(-tl // c)
+    pad = nch * c - tl
+    xc = jnp.pad(x, ((0, pad), (0, 0))).reshape(nch, c, d)
+    valid = (jnp.arange(nch * c) < tl).reshape(nch, c)
+
+    def one_chunk(args):
+        xi, vi = args
+        logits = xi.astype(jnp.float32) @ params["router"].astype(
+            jnp.float32)
+        disp, comb, aux = _route(logits, k, capacity, valid=vi)
+        # local dispatch buffers for ALL experts: (E, C, d)
+        buf = jnp.einsum("tec,td->ecd", disp.astype(ctype), xi)
+        # all_to_all out: every device keeps its own experts' slots
+        # from every peer -> (E_local, n*C, d)
+        buf = lax.all_to_all(buf, axis, split_axis=0, concat_axis=1,
+                             tiled=True)
+        out = _experts(params, buf, ctype)
+        # all_to_all back: slots return to the dispatching device
+        out = lax.all_to_all(out, axis, split_axis=1, concat_axis=0,
+                             tiled=True)                      # (E, C, d)
+        # combine in fp32: the gate weights live there and the buffer
+        # is local (no ICI cost)
+        y = jnp.einsum("tec,ecd->td", comb, out.astype(jnp.float32))
+        return y.astype(ctype), aux
+
+    ys, auxs = lax.map(one_chunk, (xc, valid))
+    y = ys.reshape(nch * c, d)[:tl]
+    nv = jnp.sum(valid, axis=1).astype(jnp.float32)
+    aux = jnp.sum(auxs * nv) / jnp.maximum(jnp.sum(nv), 1.0)
+    return y, lax.pmean(aux, axis)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "axis", "k", "capacity"))
-def _moe_jit(params, x, mesh, axis, k, capacity):
+                   static_argnames=("mesh", "axis", "k", "capacity",
+                                    "chunk"))
+def _moe_jit(params, x, mesh, axis, k, capacity, chunk):
     # router replicated; every expert stack (w_in/w_out/w_gate) sharded
     # on its leading E axis
     pspecs = {k: (P() if k == "router" else P(axis)) for k in params}
     fn = jax.shard_map(
         functools.partial(_moe_local, axis=axis, k=k,
-                          capacity=capacity),
+                          capacity=capacity, chunk=chunk),
         mesh=mesh,
         in_specs=(pspecs, P(axis)),
         out_specs=(P(axis), P()))
@@ -215,23 +239,24 @@ def _moe_jit(params, x, mesh, axis, k, capacity):
 
 def moe_ffn(params, x: jnp.ndarray, mesh: Mesh, axis: str = "ep",
             k: int = 2, capacity_factor: float = 2.0,
-            return_aux: bool = False):
+            chunk: int = 256, return_aux: bool = False):
     """Expert-parallel routed FFN: x (T, d) -> (T, d).
 
     Tokens are sharded over ``mesh[axis]`` (T divisible by the axis
-    size), experts sharded the same way (E divisible too). Per-device
-    expert capacity C = ceil(k * T_local * capacity_factor / E); tokens
-    beyond an expert's capacity are dropped from that expert (standard
-    fixed-capacity MoE semantics — raise ``capacity_factor`` to make
-    drops impossible: cf >= E/k guarantees none)."""
+    size), experts sharded the same way (E divisible too). Routing is
+    per CHUNK of each device's shard: expert capacity
+    C = ceil(k * min(chunk, T_local) * capacity_factor / E), so memory
+    stays linear in T_local; tokens beyond an expert's per-chunk
+    capacity are dropped from that expert (standard fixed-capacity MoE
+    semantics — ``capacity_factor >= E/k`` guarantees none drop)."""
     n = mesh.shape[axis]
     t, _ = x.shape
     e = _n_experts(params)
     assert t % n == 0, (t, n)
     assert e % n == 0, (e, n)
-    tl = t // n
-    capacity = max(1, int(-(-k * tl * capacity_factor // e)))
-    y, aux = _moe_jit(params, x, mesh, axis, k, capacity)
+    c = min(chunk, t // n)
+    capacity = max(1, int(-(-k * c * capacity_factor // e)))
+    y, aux = _moe_jit(params, x, mesh, axis, k, capacity, chunk)
     return (y, aux) if return_aux else y
 
 

@@ -136,3 +136,18 @@ def test_moe_local_routing_independent_of_cobatch():
                        capacity_factor=cf, chunk=128)[:8]
     np.testing.assert_allclose(np.asarray(ya), np.asarray(yb),
                                rtol=0, atol=1e-6)
+
+
+def test_moe_ep_chunked_long_shard(devices8):
+    """The EP path routes per chunk: a long token shard (multiple
+    chunks + padded tail) still equals the dense oracle at no-drop
+    capacity, with bounded dispatch buffers."""
+    mesh = make_axis_mesh(devices=devices8, ep=8)
+    params = init_moe_params(jax.random.PRNGKey(41), 16, 32, 8,
+                             swiglu=True)
+    # T_local = 72 with chunk=32 -> 3 chunks, last one padded
+    x = jax.random.normal(jax.random.PRNGKey(42), (576, 16), jnp.float32)
+    got = moe_ffn(params, x, mesh, k=2, capacity_factor=4.0, chunk=32)
+    ref = moe_ffn_dense(params, x, k=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-5)
