@@ -153,16 +153,20 @@ def requantize(params: dict, kind: str) -> dict:
     def walk(node):
         if isinstance(node, dict):
             keys = list(node)
-            if "router" in keys and ("w_in" in keys or "w_in_q" in keys):
-                # MoE expert stacks: int8 quantizes them (W8A16
-                # experts, parallel/moe.quantize_moe); every other kind
-                # keeps/returns dense stacks (4-bit expert packing is
-                # not implemented — the stacked layout would need its
-                # own pack geometry)
+            if "router" in keys and any(
+                    k in keys for k in ("w_in", "w_in_q", "w_in_q4")):
+                # MoE expert stacks follow the bit width: int8 -> W8A16
+                # stacks; int4/w4a8 -> nibble-packed stacks (decoded in
+                # VMEM by the ragged grouped GEMM); fp32/bf16 restore
+                # dense stacks
                 from how_to_optimize_gemm_tpu.parallel.moe import (
                     dequantize_moe, quantize_moe)
-                return (quantize_moe(node) if kind == "int8"
-                        else dequantize_moe(node))
+                dense = dequantize_moe(node)
+                if kind == "int8":
+                    return quantize_moe(dense, bits=8)
+                if kind in ("int4", "w4a8"):
+                    return quantize_moe(dense, bits=4)
+                return dense
             if keys and all("_" in k for k in keys) and any(
                     k.split("_")[0] in ("fp32", "bf16", "int8", "int4",
                                         "w4a8")

@@ -65,19 +65,35 @@ def _kernel_noscale(be_ref, x_ref, w_ref, o_ref):
     _kernel(be_ref, x_ref, w_ref, None, o_ref)
 
 
+def _kernel_q4(be_ref, x_ref, w_ref, s_ref, o_ref):
+    """int4 expert block: packed bytes decode in VMEM — low nibble
+    offset-binary, high nibble two's-complement (quant.pack_int4 with
+    block_k = d, so low nibbles are rows [0, d/2) and high nibbles rows
+    [d/2, d)). All shifts in int32 (int8/int16 shifts don't lower in
+    Mosaic)."""
+    del be_ref
+    p = w_ref[0].astype(jnp.int32)                 # (d/2, bf)
+    lo = ((p & 15) - 8).astype(x_ref.dtype)        # u - 8
+    hi = (p >> 4).astype(x_ref.dtype)              # floor(P/16)
+    w = jnp.concatenate([lo, hi], axis=0)          # (d, bf)
+    acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    o_ref[:] = (acc * s_ref[0]).astype(o_ref.dtype)
+
+
 def _gmm_call(x, w, block_expert, scales, bt: int, bf: int,
-              interpret: bool | None):
+              interpret: bool | None, packed4: bool = False):
     """Raw pallas_call wrapper (no VJP) — see grouped_matmul."""
     tp, d = x.shape
     e, dw, f = w.shape
-    assert dw == d and tp % bt == 0, (x.shape, w.shape, bt)
+    assert dw == (d // 2 if packed4 else d), (x.shape, w.shape, packed4)
+    assert tp % bt == 0, (tp, bt)
     bf = _pick_block(f, bf)
     nb = tp // bt
     assert block_expert.shape == (nb,), (block_expert.shape, nb)
 
     in_specs = [
         pl.BlockSpec((bt, d), lambda i, j, be: (i, 0)),
-        pl.BlockSpec((1, d, bf), lambda i, j, be: (be[i], 0, j)),
+        pl.BlockSpec((1, dw, bf), lambda i, j, be: (be[i], 0, j)),
     ]
     operands = [x, w]
     kernel = _kernel_noscale
@@ -86,7 +102,9 @@ def _gmm_call(x, w, block_expert, scales, bt: int, bf: int,
         in_specs.append(
             pl.BlockSpec((1, 1, bf), lambda i, j, be: (be[i], 0, j)))
         operands.append(scales)
-        kernel = _kernel
+        kernel = _kernel_q4 if packed4 else _kernel
+    else:
+        assert not packed4, "packed4 requires scales"
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -226,9 +244,11 @@ def _gmm_dense_bwd(bt, bf, interpret, res, dy):
 _gmm_dense.defvjp(_gmm_dense_fwd, _gmm_dense_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("bt", "bf", "interpret"))
+@functools.partial(jax.jit, static_argnames=("bt", "bf", "interpret",
+                                             "packed4"))
 def grouped_matmul(x, w, block_expert, scales=None, *, bt: int = 128,
-                   bf: int = 512, interpret: bool | None = None):
+                   bf: int = 512, packed4: bool = False,
+                   interpret: bool | None = None):
     """Ragged y[i*bt:(i+1)*bt] = x[i*bt:(i+1)*bt] @ w[block_expert[i]].
 
     x (Tp, d) expert-sorted tokens (segments bt-aligned, zero-padded);
@@ -240,8 +260,11 @@ def grouped_matmul(x, w, block_expert, scales=None, *, bt: int = 128,
 
     The dense form (scales=None) is DIFFERENTIABLE (custom VJP: dx is
     the transposed grouped matmul; dW a revisited-output segment-sum
-    kernel over the sorted blocks); the scaled int8 form is
-    inference-only."""
+    kernel over the sorted blocks); the scaled int8/int4 forms are
+    inference-only. ``packed4=True`` takes w as (E, d//2, f) packed
+    nibbles (quant.pack_int4 with block_k = d) and decodes per block in
+    VMEM — 0.5 B/elt of weight HBM traffic."""
     if scales is None:
         return _gmm_dense(x, w, block_expert, bt, bf, interpret)
-    return _gmm_call(x, w, block_expert, scales, bt, bf, interpret)
+    return _gmm_call(x, w, block_expert, scales, bt, bf, interpret,
+                     packed4=packed4)

@@ -119,31 +119,45 @@ def _route(logits: jnp.ndarray, k: int, capacity: int, valid=None):
 
 
 def _n_experts(params) -> int:
-    return params["w_in_q" if "w_in_q" in params else "w_in"].shape[0]
+    for key in ("w_in", "w_in_q", "w_in_q4"):
+        if key in params:
+            return params[key].shape[0]
+    raise KeyError(list(params))
 
 
-def quantize_moe(params: dict) -> dict:
-    """int8 expert stacks (W8A16 experts): symmetric per-(expert,
-    out-column) scales, chgemm [-127,127] convention (ops/quant).
-    The router stays fp32 — it is tiny and routing-precision-critical.
-    _experts applies the scales in the einsum epilogue so XLA fuses the
-    int8->compute-dtype convert into the matmul; the stacks live in HBM
-    at 1 B/elt (4x less than fp32, 2x less than bf16)."""
-    from how_to_optimize_gemm_tpu.ops.quant import quantize_symmetric
+def quantize_moe(params: dict, bits: int = 8) -> dict:
+    """Quantized expert stacks: symmetric per-(expert, out-column)
+    scales, chgemm conventions (ops/quant). The router stays fp32 — it
+    is tiny and routing-precision-critical.
+
+    bits=8 (W8A16): int8 stacks, 1 B/elt in HBM, converted per block in
+    VMEM by the kernels. bits=4: nibble-packed stacks
+    (quant.pack_int4 with block_k = the contraction dim), 0.5 B/elt,
+    decoded in VMEM by the ragged grouped-GEMM kernel (_kernel_q4)."""
+    from how_to_optimize_gemm_tpu.ops.quant import (pack_int4,
+                                                    quantize_symmetric)
+    assert bits in (4, 8), bits
     out = {"router": params["router"]}
     for name in ("w_in", "w_out", "w_gate"):
         if name in params:
-            q, s = quantize_symmetric(params[name], axis=1)
-            out[name + "_q"] = q
+            q, s = quantize_symmetric(params[name], axis=1, bits=bits)
+            if bits == 8:
+                out[name + "_q"] = q
+            else:
+                kdim = q.shape[1]
+                out[name + "_q4"] = jax.vmap(
+                    lambda q2: pack_int4(q2, kdim))(q)
             out[name + "_s"] = s.astype(jnp.float32)
-        elif name + "_q" in params:     # already quantized
-            out[name + "_q"] = params[name + "_q"]
-            out[name + "_s"] = params[name + "_s"]
+        else:                            # already quantized: pass through
+            for suffix in ("_q", "_q4", "_s"):
+                if name + suffix in params:
+                    out[name + suffix] = params[name + suffix]
     return out
 
 
 def dequantize_moe(params: dict) -> dict:
     """Inverse of quantize_moe (up to quantization error), fp32."""
+    from how_to_optimize_gemm_tpu.ops.quant import unpack_int4
     out = {"router": params["router"]}
     for name in ("w_in", "w_out", "w_gate"):
         if name in params:
@@ -151,20 +165,35 @@ def dequantize_moe(params: dict) -> dict:
         elif name + "_q" in params:
             out[name] = (params[name + "_q"].astype(jnp.float32)
                          * params[name + "_s"])
+        elif name + "_q4" in params:
+            packed = params[name + "_q4"]
+            kdim = packed.shape[1] * 2
+            q = jax.vmap(lambda p: unpack_int4(p, kdim))(packed)
+            out[name] = q.astype(jnp.float32) * params[name + "_s"]
     return out
 
 
 def _experts(params, x, ctype):
     """Batched per-expert FFN: x (E, S, d) -> (E, S, d). SwiGLU when
-    the params carry a gate stack, relu MLP otherwise; dense or int8
-    stacks (quantize_moe) per weight."""
+    the params carry a gate stack, relu MLP otherwise; dense, int8, or
+    int4-packed stacks (quantize_moe) per weight. On the dispatch path
+    int4 stacks unpack to ctype first (a dense transient — the ragged
+    path decodes per block in VMEM instead; prefer it for 4-bit)."""
+    from how_to_optimize_gemm_tpu.ops.quant import unpack_int4
+
     def mm(name, inp, eq):
         if name in params:
             return jnp.einsum(eq, inp, params[name].astype(ctype))
-        y = jnp.einsum(eq, inp, params[name + "_q"].astype(ctype))
-        return y * params[name + "_s"].astype(ctype)
+        if name + "_q4" in params:
+            packed = params[name + "_q4"]
+            w = jax.vmap(lambda p: unpack_int4(p, packed.shape[1] * 2)
+                         )(packed).astype(ctype)
+        else:
+            w = params[name + "_q"].astype(ctype)
+        return jnp.einsum(eq, inp, w) * params[name + "_s"].astype(ctype)
 
-    if "w_gate" in params or "w_gate_q" in params:
+    gated = any(k in params for k in ("w_gate", "w_gate_q", "w_gate_q4"))
+    if gated:
         g = jax.nn.silu(mm("w_gate", x, "esd,edf->esf"))
         h = g * mm("w_in", x, "esd,edf->esf")
     else:
@@ -389,17 +418,23 @@ def moe_ffn_ragged(params, x: jnp.ndarray, k: int = 2, bt: int = 128,
     xs = jnp.zeros((tp, d), ctype).at[dest].set(x[stok])
 
     def gm(name, inp):
-        # stacks stream AT THEIR STORED WIDTH (int8 = 1 B/elt of HBM
-        # traffic) and convert per-block inside the kernel — an astype
-        # here would materialize a dense copy in HBM
+        # stacks stream AT THEIR STORED WIDTH (int8 = 1 B/elt, int4 =
+        # 0.5 B/elt of HBM traffic) and convert/decode per-block inside
+        # the kernel — an astype/unpack here would materialize a dense
+        # copy in HBM
         if name in params:
             return grouped_matmul(inp, params[name], block_expert,
                                   bt=bt, bf=bf, interpret=interpret)
+        if name + "_q4" in params:
+            return grouped_matmul(inp, params[name + "_q4"],
+                                  block_expert, params[name + "_s"],
+                                  bt=bt, bf=bf, packed4=True,
+                                  interpret=interpret)
         return grouped_matmul(inp, params[name + "_q"],
                               block_expert, params[name + "_s"],
                               bt=bt, bf=bf, interpret=interpret)
 
-    if "w_gate" in params or "w_gate_q" in params:
+    if any(k in params for k in ("w_gate", "w_gate_q", "w_gate_q4")):
         h = jax.nn.silu(gm("w_gate", xs)) * gm("w_in", xs)
     else:
         h = jax.nn.relu(gm("w_in", xs))

@@ -70,9 +70,11 @@ def param_specs(params: dict[str, Any]) -> dict[str, Any]:
             row3 = P(None, "tp", None)
             moe_table = {
                 "router": P(),
-                "w_in": col3, "w_in_q": col3, "w_in_s": col3,
-                "w_gate": col3, "w_gate_q": col3, "w_gate_s": col3,
-                "w_out": row3, "w_out_q": row3,
+                "w_in": col3, "w_in_q": col3, "w_in_q4": col3,
+                "w_in_s": col3,
+                "w_gate": col3, "w_gate_q": col3, "w_gate_q4": col3,
+                "w_gate_s": col3,
+                "w_out": row3, "w_out_q": row3, "w_out_q4": row3,
                 # scales of the row-sharded down projection are per
                 # output column -> replicated
                 "w_out_s": P(),

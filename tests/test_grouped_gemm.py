@@ -154,3 +154,52 @@ def test_pick_block_divisors():
     assert _pick_block(1280, 512) == 256
     assert _pick_block(128 * 37, 512) == 128   # prime co-factor: 128
     assert _pick_block(192, 128) == 192        # no aligned divisor
+
+
+def test_moe_int4_stacks_roundtrip_and_ragged():
+    """4-bit expert stacks: pack/unpack round-trips, the ragged kernel
+    decodes nibbles per block in VMEM and exactly matches the oracle on
+    the dequantized weights; the dispatch path's unpack fallback agrees."""
+    from how_to_optimize_gemm_tpu.parallel.moe import (
+        dequantize_moe, moe_ffn_local)
+    params = init_moe_params(jax.random.PRNGKey(50), 16, 128, 4,
+                             swiglu=True)
+    q4 = quantize_moe(params, bits=4)
+    assert q4["w_in_q4"].shape == (4, 8, 128)   # d=16 -> 8 packed rows
+    dense = dequantize_moe(q4)
+    # values are int4 levels * scale: dequantize is exact w.r.t. q4
+    x = jax.random.normal(jax.random.PRNGKey(51), (48, 16), jnp.float32)
+    got = moe_ffn_ragged(q4, x, k=2, bt=8)
+    ref = moe_ffn_dense(dense, x, k=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+    disp = moe_ffn_local(q4, x, k=2, capacity_factor=2.0)
+    np.testing.assert_allclose(np.asarray(disp), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
+def test_llama_requantize_int4_moe():
+    """requantize(int4/w4a8) nibble-packs the expert stacks; the
+    ragged-routed model runs and tracks the dequantized-dense model."""
+    import dataclasses
+    from how_to_optimize_gemm_tpu.models import llama
+    from how_to_optimize_gemm_tpu.parallel.moe import dequantize_moe
+    cfg = llama.LlamaConfig(vocab=64, d_model=32, n_layers=2, n_heads=4,
+                            n_kv_heads=2, d_ff=128, max_seq=16,
+                            weight_kind="fp32", n_experts=4,
+                            moe_ragged=True)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    q = llama.requantize(params, "w4a8")
+    moe = q["layers"][0]["moe"]
+    assert "w_in_q4" in moe and moe["w_in_q4"].dtype == jnp.int8
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0,
+                                cfg.vocab)
+    fq = llama.forward(q, cfg, tokens, use_pallas=False)
+    # dense model with the SAME dequantized experts (attention linears
+    # differ by their own quant error, so swap only the moe dicts)
+    dense = llama.requantize(q, "fp32")
+    fd = llama.forward(dense, cfg, tokens, use_pallas=False)
+    assert np.isfinite(np.asarray(fq)).all()
+    rel = float(jnp.max(jnp.abs(fq - fd)) /
+                jnp.maximum(jnp.max(jnp.abs(fd)), 1e-6))
+    assert rel < 0.2, rel
