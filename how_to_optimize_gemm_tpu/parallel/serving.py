@@ -311,12 +311,19 @@ def main(argv=None):
     ap.add_argument("--cache-kind", default="bf16",
                     choices=["bf16", "int8"],
                     help="int8 = KV8 quantized cache (half cache HBM)")
+    ap.add_argument("--n-experts", type=int, default=0,
+                    help="MoE family: top-2 routed MLP with this many "
+                         "SwiGLU experts (0 = dense)")
+    ap.add_argument("--moe-ragged", action="store_true",
+                    help="route MoE MLPs through the grouped-GEMM "
+                         "(ragged, dropless) kernel")
     args = ap.parse_args(argv)
 
     cfg = llama.LlamaConfig(
         vocab=args.vocab, d_model=args.d_model, n_layers=args.n_layers,
         n_heads=args.n_heads, n_kv_heads=args.n_kv_heads, d_ff=args.d_ff,
-        max_seq=args.max_seq, weight_kind=args.weight_kind)
+        max_seq=args.max_seq, weight_kind=args.weight_kind,
+        n_experts=args.n_experts, moe_ragged=args.moe_ragged)
     params = llama.init_params(jax.random.PRNGKey(0), cfg)
     if args.eager and args.use_pallas:
         ap.error("--eager and --use-pallas are mutually exclusive")
@@ -327,12 +334,13 @@ def main(argv=None):
                                 cache_kind=args.cache_kind)
     wbytes = {"fp32": 4, "bf16": 2, "int8": 1, "int4": 0.5}[
         args.weight_kind]
+    n_mlp_mats = 3 * max(cfg.n_experts, 1)
     nparam = (cfg.vocab * cfg.d_model * 2
               + cfg.n_layers * (cfg.d_model * (cfg.n_heads
                                                + 2 * cfg.n_kv_heads)
                                 * cfg.d_head
                                 + cfg.n_heads * cfg.d_head * cfg.d_model
-                                + 3 * cfg.d_model * cfg.d_ff))
+                                + n_mlp_mats * cfg.d_model * cfg.d_ff))
     print(f"decode tokens/s: {tps:.1f} "
           f"(batch={args.batch}, {args.weight_kind}, "
           f"~{nparam * wbytes / 1e9:.2f} GB weights)")

@@ -172,3 +172,36 @@ def test_engine_moe_model():
         ref = _greedy_reference(mparams, req.prompt, req.max_new,
                                 cfg=mcfg)
         assert req.out == ref, (req.uid, req.out, ref)
+
+
+def test_engine_tp_sharded_moe(devices8):
+    """TP-sharded serving of the MoE family: expert stacks shard
+    Megatron-style inside each expert; greedy output matches the
+    unsharded engine exactly."""
+    from how_to_optimize_gemm_tpu.parallel.mesh import make_mesh
+
+    cfg = llama.LlamaConfig(vocab=64, d_model=16 * 4, n_layers=2,
+                            n_heads=4, n_kv_heads=4, d_ff=32 * 4,
+                            max_seq=32, weight_kind="fp32",
+                            n_experts=4)
+    params = llama.init_params(jax.random.PRNGKey(6), cfg)
+    reqs = lambda: [Request(uid=0, prompt=[3, 5, 7], max_new=5),
+                    Request(uid=1, prompt=[9], max_new=5)]
+    plain = ServingEngine(cfg, params, batch_slots=2, use_pallas=False)
+    out_plain = [r.out for r in plain.run(reqs())]
+    mesh = make_mesh(dp=1, tp=4, devices=devices8[:4])
+    tp = ServingEngine(cfg, params, batch_slots=2, mesh=mesh,
+                       use_pallas=False)
+    out_tp = [r.out for r in tp.run(reqs())]
+    assert out_tp == out_plain
+
+
+def test_serving_cli_moe_smoke(capsys):
+    from how_to_optimize_gemm_tpu.parallel import serving
+    serving.main(["--d-model", "32", "--n-layers", "1", "--d-ff", "64",
+                  "--n-heads", "4", "--n-kv-heads", "2", "--vocab",
+                  "64", "--max-seq", "32", "--batch", "2", "--steps",
+                  "2", "--weight-kind", "fp32", "--n-experts", "4",
+                  "--eager"])
+    out = capsys.readouterr().out
+    assert "decode tokens/s" in out
