@@ -178,3 +178,42 @@ def llama_pp_forward(params, cfg, tokens: jnp.ndarray, mesh: Mesh,
                        n_micro=n_micro)
     x = llama.rmsnorm(x, params["out_norm"], cfg.norm_eps)
     return llama.apply_linear(params["lm_head"], x, use_pallas)
+
+
+def make_pp_train_step(cfg, mesh: Mesh, axis: str = "pp",
+                       n_micro: int = 4, lr: float = 1e-2,
+                       use_pallas: bool | None = False,
+                       remat: bool = False):
+    """jit-compiled pipeline-parallel SGD step on the flagship model.
+
+    Gradients through the GPipe schedule are exact (pipeline_apply), so
+    this step's loss/updates match the single-device step on the same
+    tokens — asserted in tests/test_pipeline.py. Returns
+    ``step(params, tokens) -> (params, loss)``; params stay in the
+    plain llama layout (stacking happens inside the traced function, so
+    checkpoints and the other parallel layers see the standard tree)."""
+    from how_to_optimize_gemm_tpu.models import llama
+    from how_to_optimize_gemm_tpu.parallel.training import split_trainable
+
+    def loss_of_params(params, tokens):
+        logits = llama_pp_forward(params, cfg, tokens[:, :-1], mesh,
+                                  axis=axis, n_micro=n_micro,
+                                  use_pallas=use_pallas, remat=remat)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        nll = -jnp.take_along_axis(logp, tokens[:, 1:][..., None], -1)
+        return jnp.mean(nll)
+
+    @jax.jit
+    def step(params, tokens):
+        all_leaves = jax.tree.leaves(params)
+        floats, rebuild = split_trainable(params)
+
+        def loss_of(floats):
+            return loss_of_params(rebuild(floats, all_leaves), tokens)
+
+        loss, grads = jax.value_and_grad(loss_of)(floats)
+        floats = [(p - lr * g.astype(p.dtype)).astype(p.dtype)
+                  for p, g in zip(floats, grads)]
+        return rebuild(floats, all_leaves), loss
+
+    return step

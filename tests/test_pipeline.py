@@ -113,3 +113,26 @@ def test_llama_pp_forward_moe(devices8):
     ref = llama.forward(params, cfg, tokens, use_pallas=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=2e-5)
+
+
+def test_pp_train_step_matches_single_device(devices8):
+    """The library PP train step lands on the same loss and params as
+    the single-device SGD step (exact GPipe gradients)."""
+    from how_to_optimize_gemm_tpu.models import llama
+    from how_to_optimize_gemm_tpu.parallel.pipeline import (
+        make_pp_train_step)
+    pp = 4
+    mesh = make_axis_mesh(devices=devices8[:pp], pp=pp)
+    cfg = llama.LlamaConfig(vocab=64, d_model=32, n_layers=4, n_heads=4,
+                            n_kv_heads=2, d_ff=64, max_seq=16,
+                            weight_kind="fp32")
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                                cfg.vocab)
+    step = make_pp_train_step(cfg, mesh, n_micro=2, lr=1e-2)
+    new_pp, loss_pp = step(params, tokens)
+    new_sd, loss_sd = llama.sgd_train_step(params, cfg, tokens, lr=1e-2)
+    np.testing.assert_allclose(float(loss_pp), float(loss_sd), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(new_pp), jax.tree.leaves(new_sd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
