@@ -151,3 +151,21 @@ def test_moe_ep_chunked_long_shard(devices8):
     ref = moe_ffn_dense(params, x, k=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=1e-5)
+
+
+def test_moe_ep_quantized_stacks(devices8):
+    """EP sharding composes with quantized expert stacks (int8 and
+    nibble-packed int4): equality vs the dense oracle on the
+    dequantized weights."""
+    from how_to_optimize_gemm_tpu.parallel.moe import (
+        dequantize_moe, quantize_moe)
+    mesh = make_axis_mesh(devices=devices8, ep=8)
+    params = init_moe_params(jax.random.PRNGKey(61), 16, 32, 8,
+                             swiglu=True)
+    x = jax.random.normal(jax.random.PRNGKey(62), (64, 16), jnp.float32)
+    for bits in (8, 4):
+        q = quantize_moe(params, bits=bits)
+        got = moe_ffn(q, x, mesh, k=2, capacity_factor=4.0)
+        ref = moe_ffn_dense(dequantize_moe(q), x, k=2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=1e-5, err_msg=str(bits))
