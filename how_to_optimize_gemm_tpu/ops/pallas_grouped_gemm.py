@@ -244,6 +244,45 @@ def _gmm_dense_bwd(bt, bf, interpret, res, dy):
 _gmm_dense.defvjp(_gmm_dense_fwd, _gmm_dense_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _gmm_q8(x, w, scales, block_expert, bt, bf, interpret):
+    return _gmm_call(x, w, block_expert, scales, bt, bf, interpret)
+
+
+def _gmm_q8_fwd(x, w, scales, block_expert, bt, bf, interpret):
+    y = _gmm_call(x, w, block_expert, scales, bt, bf, interpret)
+    return y, (x, w, scales, block_expert)
+
+
+def _gmm_q8_bwd(bt, bf, interpret, res, dy):
+    """QLoRA-style backward for y = (x @ Wq[be]) * s[be]: the int8
+    stack is frozen (float0 cotangent); x and the scales train.
+
+    dx folds the scales into dy rows, then runs the transposed-
+    contraction kernel on the int8 stack in place; ds is a segment
+    reduction of dy ⊙ u over each expert's rows, with u = x @ Wq
+    recomputed (remat-style: cheaper than holding a (Tp, f) residual
+    across the whole backward)."""
+    import numpy as np
+    x, w, scales, block_expert = res
+    row_expert = jnp.repeat(block_expert, x.shape[0]
+                            // block_expert.shape[0])          # (Tp,)
+    s_rows = scales[row_expert, 0, :]                          # (Tp, f)
+    dys = (dy.astype(jnp.float32) * s_rows).astype(dy.dtype)
+    dx = _gmm_call_t(dys, w, block_expert, bt, bf, interpret)
+    u = _gmm_call(x, w, block_expert, None, bt, bf, interpret)
+    ds = jax.ops.segment_sum(
+        dy.astype(jnp.float32) * u.astype(jnp.float32),
+        row_expert, num_segments=scales.shape[0])              # (E, f)
+    return (dx.astype(x.dtype),
+            np.zeros(w.shape, jax.dtypes.float0),
+            ds[:, None, :].astype(scales.dtype),
+            np.zeros(block_expert.shape, jax.dtypes.float0))
+
+
+_gmm_q8.defvjp(_gmm_q8_fwd, _gmm_q8_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("bt", "bf", "interpret",
                                              "packed4"))
 def grouped_matmul(x, w, block_expert, scales=None, *, bt: int = 128,
@@ -260,11 +299,16 @@ def grouped_matmul(x, w, block_expert, scales=None, *, bt: int = 128,
 
     The dense form (scales=None) is DIFFERENTIABLE (custom VJP: dx is
     the transposed grouped matmul; dW a revisited-output segment-sum
-    kernel over the sorted blocks); the scaled int8/int4 forms are
-    inference-only. ``packed4=True`` takes w as (E, d//2, f) packed
-    nibbles (quant.pack_int4 with block_k = d) and decodes per block in
-    VMEM — 0.5 B/elt of weight HBM traffic."""
+    kernel over the sorted blocks), and so is the scaled int8 form
+    (QLoRA-style: int8 stack frozen, x and scales get gradients).
+    ``packed4=True`` takes w as (E, d//2, f) packed nibbles
+    (quant.pack_int4 with block_k = d) and decodes per block in VMEM —
+    0.5 B/elt of weight HBM traffic; inference-only (the pack
+    interleaves output rows of any transposed block, so a dx kernel
+    would need two disjoint writes per block)."""
     if scales is None:
         return _gmm_dense(x, w, block_expert, bt, bf, interpret)
+    if not packed4:
+        return _gmm_q8(x, w, scales, block_expert, bt, bf, interpret)
     return _gmm_call(x, w, block_expert, scales, bt, bf, interpret,
-                     packed4=packed4)
+                     packed4=True)

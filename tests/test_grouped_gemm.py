@@ -203,3 +203,70 @@ def test_llama_requantize_int4_moe():
     rel = float(jnp.max(jnp.abs(fq - fd)) /
                 jnp.maximum(jnp.max(jnp.abs(fd)), 1e-6))
     assert rel < 0.2, rel
+
+
+def test_grouped_matmul_q8_vjp():
+    """QLoRA-style int8 grouped backward: dx and d(scales) match
+    autodiff of the dequantized segment reference; the int8 stack gets
+    no cotangent."""
+    e, d, f, bt = 3, 16, 128, 8
+    q = jax.random.randint(jax.random.PRNGKey(60), (e, d, f), -127, 128
+                           ).astype(jnp.int8)
+    s = jax.random.uniform(jax.random.PRNGKey(61), (e, 1, f),
+                           jnp.float32, 0.01, 0.02)
+    block_expert = jnp.asarray([1, 0, 2, 1], jnp.int32)
+    tp = len(block_expert) * bt
+    x = jax.random.normal(jax.random.PRNGKey(62), (tp, d), jnp.float32)
+    tgt = jax.random.normal(jax.random.PRNGKey(63), (tp, f), jnp.float32)
+
+    def loss_kernel(x, s):
+        y = grouped_matmul(x, q, block_expert, s, bt=bt, bf=128)
+        return jnp.sum((y - tgt) ** 2)
+
+    def loss_ref(x, s):
+        y = jnp.concatenate([
+            (x[i * bt:(i + 1) * bt] @ q[int(b_)].astype(jnp.float32))
+            * s[int(b_)] for i, b_ in enumerate(block_expert)])
+        return jnp.sum((y - tgt) ** 2)
+
+    (la, (dxa, dsa)) = jax.value_and_grad(loss_kernel, (0, 1))(x, s)
+    (lb, (dxb, dsb)) = jax.value_and_grad(loss_ref, (0, 1))(x, s)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dxa), np.asarray(dxb),
+                               rtol=1e-5, atol=1e-3)
+    # ds entries are O(1e4) sums (u carries the un-scaled int8 dot):
+    # accumulation-order noise needs a relative tolerance
+    np.testing.assert_allclose(np.asarray(dsa), np.asarray(dsb),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_moe_ragged_q8_trains_like_dispatch():
+    """Quantized-expert (W8A16) MoE trains through the RAGGED path:
+    gradients match the dispatch path's unpack-fallback gradients."""
+    from how_to_optimize_gemm_tpu.parallel.moe import moe_ffn_local
+    params = quantize_moe(init_moe_params(jax.random.PRNGKey(70), 16,
+                                          128, 4, swiglu=True))
+    x = jax.random.normal(jax.random.PRNGKey(71), (64, 16), jnp.float32)
+
+    def split(p):
+        floats = {k: v for k, v in p.items() if v.dtype != jnp.int8}
+        ints = {k: v for k, v in p.items() if v.dtype == jnp.int8}
+        return floats, ints
+
+    floats, ints = split(params)
+
+    def loss(fn):
+        def inner(floats):
+            y = fn({**floats, **ints}, x, k=2)
+            return jnp.mean(y ** 2)
+        return inner
+
+    ga = jax.grad(loss(lambda p, x, k: moe_ffn_ragged(p, x, k=k, bt=8))
+                  )(floats)
+    gb = jax.grad(loss(lambda p, x, k: moe_ffn_local(
+        p, x, k=k, capacity_factor=2.0)))(floats)
+    assert set(ga) == set(gb)
+    for key in ga:
+        np.testing.assert_allclose(np.asarray(ga[key]),
+                                   np.asarray(gb[key]),
+                                   rtol=0, atol=1e-4, err_msg=key)
