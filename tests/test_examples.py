@@ -35,3 +35,9 @@ def test_parallel_axes_example():
     assert r.returncode == 0, r.stderr[-2000:]
     for marker in ("train loss:", "pp=8", "ep=8", "ring attention"):
         assert marker in r.stdout, (marker, r.stdout)
+
+
+def test_moe_finetune_example():
+    r = _run(["examples/moe_finetune.py", "--steps", "4", "--ragged"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "frozen=True" in r.stdout and "router moved=True" in r.stdout
