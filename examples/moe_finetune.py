@@ -1,15 +1,17 @@
 #!/usr/bin/env python
 """QLoRA-style finetune of a quantized-expert MoE model.
 
-The expert stacks are int8 (W8A16, frozen — integer leaves never
-receive gradients); the router, scales, norms, embeddings and attention
-float leaves train. With --ragged the MLPs run through the grouped
-(ragged) Pallas GEMM whose custom VJP keeps the int8 stacks frozen and
-streams them at 1 B/elt in both passes.
+The expert stacks are quantized (int8 W8A16 by default, nibble-packed
+int4 with --bits 4) and FROZEN — integer leaves never receive
+gradients; the router, scales, norms, embeddings and attention float
+leaves train. With --ragged the MLPs run through the grouped (ragged)
+Pallas GEMM whose custom VJP keeps the quantized stacks frozen and
+streams them at their stored width (1 B/elt int8, 0.5 B/elt int4) in
+both passes.
 
 Run hermetically:
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python examples/moe_finetune.py --steps 4
+      python examples/moe_finetune.py --steps 4 [--ragged] [--bits 4]
 """
 from __future__ import annotations
 
@@ -26,6 +28,9 @@ def main() -> None:
     ap.add_argument("--ragged", action="store_true",
                     help="route MLPs through the grouped-GEMM kernel")
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--bits", type=int, default=8, choices=[4, 8],
+                    help="expert-stack width (8 = W8A16, 4 = packed "
+                         "nibbles)")
     args = ap.parse_args()
 
     from how_to_optimize_gemm_tpu.models import llama
@@ -35,9 +40,11 @@ def main() -> None:
                             n_kv_heads=2, d_ff=128, max_seq=32,
                             weight_kind="fp32", n_experts=4,
                             moe_ragged=args.ragged)
+    qkey = "w_in_q" if args.bits == 8 else "w_in_q4"
     params = llama.requantize(
-        llama.init_params(jax.random.PRNGKey(0), cfg), "int8")
-    assert params["layers"][0]["moe"]["w_in_q"].dtype == jnp.int8
+        llama.init_params(jax.random.PRNGKey(0), cfg),
+        "int8" if args.bits == 8 else "w4a8")
+    assert params["layers"][0]["moe"][qkey].dtype == jnp.int8
 
     tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
                                 cfg.vocab)
@@ -47,11 +54,12 @@ def main() -> None:
                                    n_steps=args.steps, lr=args.lr)
     moe0, moe1 = (p["layers"][0]["moe"]
                   for p in (before, state.params))
-    frozen = bool(jnp.array_equal(moe0["w_in_q"], moe1["w_in_q"]))
+    frozen = bool(jnp.array_equal(moe0[qkey], moe1[qkey]))
     router_moved = not jnp.array_equal(moe0["router"], moe1["router"])
     scales_moved = not jnp.array_equal(moe0["w_in_s"], moe1["w_in_s"])
     print(f"losses: {losses[0]:.4f} -> {losses[-1]:.4f} "
-          f"(int8 stacks frozen={frozen}, router moved={router_moved}, "
+          f"(int{args.bits} stacks frozen={frozen}, "
+          f"router moved={router_moved}, "
           f"scales moved={scales_moved}, ragged={args.ragged})")
     assert frozen and router_moved and scales_moved
     assert losses[-1] < losses[0]

@@ -149,6 +149,13 @@ def quantize_moe(params: dict, bits: int = 8) -> dict:
                     lambda q2: pack_int4(q2, kdim))(q)
             out[name + "_s"] = s.astype(jnp.float32)
         else:                            # already quantized: pass through
+            have = (8 if name + "_q" in params
+                    else 4 if name + "_q4" in params else None)
+            if have is not None and have != bits:
+                raise ValueError(
+                    f"{name}: stacks already quantized at {have}-bit; "
+                    f"dequantize_moe() first to re-encode at {bits}-bit"
+                    " (silent pass-through would keep the old width)")
             for suffix in ("_q", "_q4", "_s"):
                 if name + suffix in params:
                     out[name + suffix] = params[name + suffix]
@@ -395,13 +402,15 @@ def moe_ffn_ragged(params, x: jnp.ndarray, k: int = 2, bt: int = 128,
 
     vs the dispatch path: block-dispatch droplessness costs E/k x the
     useful expert FLOPs; this path costs ~1x + at most one padded block
-    per expert. Works on dense or int8 expert stacks (the stack streams
-    at its stored width; int8 converts per-block in VMEM, scales in the
-    kernel epilogue). TRAINS on dense stacks (custom VJP: transposed-
+    per expert. Works on dense, int8, or packed-int4 expert stacks (the
+    stack streams at its stored width; int8 converts and int4 decodes
+    per-block in VMEM, scales in the kernel epilogue). TRAINS at every
+    width: dense stacks get full gradients (custom VJP: transposed-
     contraction dx kernel + revisited-output dW kernel; gradient
-    equality vs the dispatch path in tests/test_grouped_gemm.py); the
-    int8-stack form is inference-only. f (d_ff) must be 128-aligned on
-    real TPUs."""
+    equality vs the dispatch path in tests/test_grouped_gemm.py);
+    int8/int4 stacks train QLoRA-style (stack frozen, x and scales get
+    gradients — see pallas_grouped_gemm._gmm_q8_bwd/_gmm_q4_bwd).
+    f (d_ff) must be 128-aligned on real TPUs."""
     from how_to_optimize_gemm_tpu.ops.pallas_grouped_gemm import (
         grouped_matmul)
 

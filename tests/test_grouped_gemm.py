@@ -270,3 +270,91 @@ def test_moe_ragged_q8_trains_like_dispatch():
         np.testing.assert_allclose(np.asarray(ga[key]),
                                    np.asarray(gb[key]),
                                    rtol=0, atol=1e-4, err_msg=key)
+
+
+def test_grouped_matmul_q4_custom_vjp():
+    """Packed-int4 stacks train QLoRA-style on the ragged path: dx and
+    d(scales) match autodiff of the dequantized reference (the packed
+    stack itself is frozen — float0). d/2 = 256 > bf = 128 forces the
+    transposed kernel through BOTH nibble bands at nh = 2."""
+    from how_to_optimize_gemm_tpu.ops.quant import pack_int4
+    e, d, f, bt = 3, 512, 128, 8
+    q = jax.random.randint(jax.random.PRNGKey(80), (e, d, f), -7, 8
+                           ).astype(jnp.int8)
+    packed = jax.vmap(lambda q2: pack_int4(q2, d))(q)
+    assert packed.shape == (e, d // 2, f)
+    s = jax.random.uniform(jax.random.PRNGKey(81), (e, 1, f),
+                           jnp.float32, 0.01, 0.02)
+    block_expert = jnp.asarray([1, 0, 2, 1], jnp.int32)
+    tp = len(block_expert) * bt
+    x = jax.random.normal(jax.random.PRNGKey(82), (tp, d), jnp.float32)
+    tgt = jax.random.normal(jax.random.PRNGKey(83), (tp, f), jnp.float32)
+
+    def loss_kernel(x, s):
+        y = grouped_matmul(x, packed, block_expert, s, bt=bt, bf=128,
+                           packed4=True)
+        return jnp.sum((y - tgt) ** 2)
+
+    def loss_ref(x, s):
+        y = jnp.concatenate([
+            (x[i * bt:(i + 1) * bt] @ q[int(b_)].astype(jnp.float32))
+            * s[int(b_)] for i, b_ in enumerate(block_expert)])
+        return jnp.sum((y - tgt) ** 2)
+
+    (la, (dxa, dsa)) = jax.value_and_grad(loss_kernel, (0, 1))(x, s)
+    (lb, (dxb, dsb)) = jax.value_and_grad(loss_ref, (0, 1))(x, s)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dxa), np.asarray(dxb),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dsa), np.asarray(dsb),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_moe_ragged_q4_trains_like_dispatch():
+    """int4-packed expert MoE trains through the RAGGED path (the gap
+    round 2 first shipped as inference-only): gradients match the
+    dispatch path's unpack-fallback gradients."""
+    from how_to_optimize_gemm_tpu.parallel.moe import moe_ffn_local
+    params = quantize_moe(init_moe_params(jax.random.PRNGKey(90), 16,
+                                          128, 4, swiglu=True), bits=4)
+    assert "w_in_q4" in params
+    x = jax.random.normal(jax.random.PRNGKey(91), (64, 16), jnp.float32)
+
+    def split(p):
+        floats = {k: v for k, v in p.items() if v.dtype != jnp.int8}
+        ints = {k: v for k, v in p.items() if v.dtype == jnp.int8}
+        return floats, ints
+
+    floats, ints = split(params)
+
+    def loss(fn):
+        def inner(floats):
+            y = fn({**floats, **ints}, x, k=2)
+            return jnp.mean(y ** 2)
+        return inner
+
+    ga = jax.grad(loss(lambda p, x, k: moe_ffn_ragged(p, x, k=k, bt=8))
+                  )(floats)
+    gb = jax.grad(loss(lambda p, x, k: moe_ffn_local(
+        p, x, k=k, capacity_factor=2.0)))(floats)
+    assert set(ga) == set(gb)
+    for key in ga:
+        np.testing.assert_allclose(np.asarray(ga[key]),
+                                   np.asarray(gb[key]),
+                                   rtol=0, atol=1e-4, err_msg=key)
+
+
+def test_quantize_moe_width_mismatch_raises():
+    """Re-quantizing at a different width must not silently pass the
+    old stacks through — dequantize first, explicitly."""
+    from how_to_optimize_gemm_tpu.parallel.moe import dequantize_moe
+    p8 = quantize_moe(init_moe_params(jax.random.PRNGKey(95), 16, 128,
+                                      4, swiglu=True))
+    with pytest.raises(ValueError, match="already quantized at 8-bit"):
+        quantize_moe(p8, bits=4)
+    # same-width pass-through (idempotence) still works
+    again = quantize_moe(p8, bits=8)
+    assert set(again) == set(p8)
+    # and the documented route produces real 4-bit stacks
+    p4 = quantize_moe(dequantize_moe(p8), bits=4)
+    assert "w_in_q4" in p4 and "w_in_q" not in p4
