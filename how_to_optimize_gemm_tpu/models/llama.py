@@ -37,7 +37,10 @@ class LlamaConfig:
     # n_experts > 0 makes the MLP a top-k routed MoE (Mixtral shape):
     # SwiGLU experts via parallel/moe, dense-routed on one device,
     # expert-parallel over an ep mesh axis with moe_ffn. Expert stacks
-    # stay in fp32/bf16 (requantize() leaves them dense).
+    # follow weight_kind (int8 -> W8A16 stacks, int4/w4a8 -> packed
+    # nibbles), both at init_params and through requantize(); quantized
+    # stacks are frozen under training (QLoRA-style — scales and all
+    # float leaves still train).
     # moe_dropless=True (default) forces per-chunk no-drop capacity
     # (cf = E/k): every token's routing is independent of its co-batch,
     # so serving output is deterministic per request — at the price of
@@ -48,8 +51,8 @@ class LlamaConfig:
     # moe_ragged=True routes the MLP through the Pallas grouped GEMM
     # (ops/pallas_grouped_gemm): dropless AND overcompute-free (each
     # expert multiplies exactly its own token segment). Differentiable
-    # on dense expert stacks (custom VJP); int8 expert stacks are
-    # inference-only on this path. Needs d_ff % 128 == 0 on real TPUs.
+    # at every stack width (dense: full grads; int8/int4: QLoRA-style
+    # frozen stacks). Needs d_ff % 128 == 0 on real TPUs.
     n_experts: int = 0
     moe_top_k: int = 2
     moe_capacity: float = 2.0
@@ -103,12 +106,20 @@ def init_params(key: jax.Array, cfg: LlamaConfig) -> dict[str, Any]:
         }
         if cfg.n_experts > 0:
             from how_to_optimize_gemm_tpu.parallel.moe import (
-                init_moe_params)
+                init_moe_params, quantize_moe)
             edtype = (jnp.float32 if cfg.weight_kind == "fp32"
                       else jnp.bfloat16)
-            layer["moe"] = init_moe_params(ks[4], d, cfg.d_ff,
-                                           cfg.n_experts, dtype=edtype,
-                                           swiglu=True)
+            moe_p = init_moe_params(ks[4], d, cfg.d_ff,
+                                    cfg.n_experts, dtype=edtype,
+                                    swiglu=True)
+            # expert stacks follow weight_kind like every other linear
+            # (a bf16 stack under weight_kind=int8 would silently run —
+            # and count HBM — at 2 B/elt)
+            if cfg.weight_kind == "int8":
+                moe_p = quantize_moe(moe_p, bits=8)
+            elif cfg.weight_kind in ("int4", "w4a8"):
+                moe_p = quantize_moe(moe_p, bits=4)
+            layer["moe"] = moe_p
         else:
             layer["w_gate"] = dense(ks[4], d, cfg.d_ff, cfg.weight_kind)
             layer["w_up"] = dense(ks[5], d, cfg.d_ff, cfg.weight_kind)
@@ -600,6 +611,15 @@ def decode_step(params, cfg: LlamaConfig, cache, tokens: jnp.ndarray,
 
 # ------------------------------------------------------------- training
 
+def token_nll(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Mean next-token negative log-likelihood: logits (B, S, V) vs
+    targets (B, S). The one NLL definition every train step shares
+    (loss_fn here, pipeline.make_pp_train_step over PP stages)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.mean(-jnp.take_along_axis(logp, targets[..., None],
+                                         axis=-1))
+
+
 def loss_fn(params, cfg: LlamaConfig, tokens: jnp.ndarray,
             use_pallas: bool | None = False,
             remat: bool = False, flash_train: bool = False) -> jnp.ndarray:
@@ -611,10 +631,7 @@ def loss_fn(params, cfg: LlamaConfig, tokens: jnp.ndarray,
     logits, aux = forward(params, cfg, tokens[:, :-1], use_pallas,
                           remat=remat, flash_train=flash_train,
                           return_moe_aux=True)
-    targets = tokens[:, 1:]
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
-    loss = jnp.mean(nll)
+    loss = token_nll(logits, tokens[:, 1:])
     if cfg.n_experts > 0:
         loss = loss + cfg.moe_aux_weight * aux
     return loss
@@ -626,7 +643,8 @@ def sgd_train_step(params, cfg: LlamaConfig, tokens, lr: float = 1e-2):
     parallel/training.py). Quantized linears are frozen by construction:
     autodiff only ever sees the float leaf subset (differentiating a
     tree with int leaves is a hard TypeError in JAX, not a no-op)."""
-    from how_to_optimize_gemm_tpu.parallel.training import split_trainable
+    from how_to_optimize_gemm_tpu.parallel.training import (
+        sgd_update, split_trainable)
 
     all_leaves = jax.tree.leaves(params)
     floats, rebuild = split_trainable(params)
@@ -635,6 +653,4 @@ def sgd_train_step(params, cfg: LlamaConfig, tokens, lr: float = 1e-2):
         return loss_fn(rebuild(floats, all_leaves), cfg, tokens)
 
     loss, grads = jax.value_and_grad(loss_of)(floats)
-    floats = [(p - lr * g.astype(p.dtype)).astype(p.dtype)
-              for p, g in zip(floats, grads)]
-    return rebuild(floats, all_leaves), loss
+    return rebuild(sgd_update(floats, grads, lr), all_leaves), loss

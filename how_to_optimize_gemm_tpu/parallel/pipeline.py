@@ -49,9 +49,16 @@ def shard_stacked(stacked, mesh: Mesh, axis: str = "pp"):
         stacked)
 
 
-def _pp_local(params, x, *, stage_fn, axis: str, n_micro: int):
+def _pp_local(params, x, *, stage_fn, axis: str, n_micro: int,
+              with_aux: bool = False):
     """shard_map body: x is the REPLICATED (B, ...) global batch; params
-    leaves are this device's (1, ...) stage slice."""
+    leaves are this device's (1, ...) stage slice.
+
+    with_aux=True: stage_fn returns (y, aux_scalar); each microbatch's
+    aux accumulates ALONGSIDE its activation as it hops stage to stage
+    (reset to 0 where stage 0 ingests, summed at retirement), so drain
+    recomputations never leak into the total — exactly the ticks whose
+    activations retire contribute aux."""
     pp = lax.axis_size(axis)
     me = lax.axis_index(axis)
     params = jax.tree.map(lambda p: p[0], params)
@@ -65,47 +72,71 @@ def _pp_local(params, x, *, stage_fn, axis: str, n_micro: int):
     # carries.
     vary = (me * 0 + 1).astype(x.dtype)
     state = jnp.zeros_like(xm[0]) * vary        # activation in flight
+    aux_state = jnp.float32(me * 0)             # aux riding with it
+    aux_total = jnp.float32(me * 0)
     outbuf = jnp.zeros_like(xm) * vary
     perm = [(i, (i + 1) % pp) for i in range(pp)]
 
     def body(carry, t):
-        state, outbuf = carry
+        state, aux_state, outbuf, aux_total = carry
         # stage 0 ingests microbatch t (clipped during drain: those
         # extra computations never reach outbuf, so their cotangent is
         # zero and gradients stay exact)
         inp = xm[jnp.minimum(t, n_micro - 1)]
         cur = jnp.where(me == 0, inp, state)
-        y = stage_fn(params, cur)
+        aux_cur = jnp.where(me == 0, 0.0, aux_state)
+        if with_aux:
+            y, aux_s = stage_fn(params, cur)
+            aux_y = aux_cur + aux_s.astype(jnp.float32)
+        else:
+            y = stage_fn(params, cur)
+            aux_y = aux_cur
         # the LAST stage retires microbatch t-(pp-1) at tick t
         oidx = jnp.clip(t - (pp - 1), 0, n_micro - 1)
         valid = (me == pp - 1) & (t >= pp - 1)
         upd = lax.dynamic_update_index_in_dim(
             outbuf, y.astype(outbuf.dtype), oidx, 0)
         outbuf = jnp.where(valid, upd, outbuf)
-        # hop the activation to the next stage (ICI neighbor on a real
-        # slice — the tp-innermost device order of make_axis_mesh)
+        aux_total = aux_total + jnp.where(valid, aux_y, 0.0)
+        # hop the activation (and its aux) to the next stage (ICI
+        # neighbor on a real slice — the tp-innermost device order of
+        # make_axis_mesh)
         state = lax.ppermute(y, axis, perm)
-        return (state, outbuf), None
+        aux_state = lax.ppermute(aux_y, axis, perm)
+        return (state, aux_state, outbuf, aux_total), None
 
     ticks = jnp.arange(n_micro + pp - 1)
-    (_, outbuf), _ = lax.scan(body, (state, outbuf), ticks)
+    (_, _, outbuf, aux_total), _ = lax.scan(
+        body, (state, aux_state, outbuf, aux_total), ticks)
     # only the last stage holds real outputs; psum replicates them
     # (every other stage contributes zeros)
     outbuf = jnp.where(me == pp - 1, outbuf, jnp.zeros_like(outbuf))
     outbuf = lax.psum(outbuf, axis)
-    return outbuf.reshape(b, *outbuf.shape[2:])
+    out = outbuf.reshape(b, *outbuf.shape[2:])
+    if not with_aux:
+        return out
+    aux_total = lax.psum(
+        jnp.where(me == pp - 1, aux_total, 0.0), axis)
+    return out, aux_total / n_micro             # mean over microbatches
 
 
 def pipeline_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
                    stacked_params, x: jnp.ndarray, mesh: Mesh,
-                   axis: str = "pp", n_micro: int = 8) -> jnp.ndarray:
+                   axis: str = "pp", n_micro: int = 8,
+                   with_aux: bool = False):
     """Apply ``stage_{pp-1} ∘ … ∘ stage_0`` to ``x``, pipelined over
     ``mesh[axis]``.
 
     ``stage_fn(stage_params, x) -> y`` must preserve x's shape/dtype
     (uniform stages); ``stacked_params`` leaves carry a leading ``pp``
     axis (see stack_stages). ``x`` is (B, ...) with B divisible by
-    ``n_micro``. Differentiable in both arguments."""
+    ``n_micro``. Differentiable in both arguments.
+
+    with_aux=True: ``stage_fn`` returns ``(y, aux_scalar)`` instead and
+    pipeline_apply returns ``(out, aux)`` where aux is the
+    microbatch-mean of each microbatch's stage-summed aux (the MoE
+    load-balance channel — per-microbatch scalars ride the pipeline
+    alongside the activations)."""
     pp = mesh.shape[axis]
     assert x.shape[0] % n_micro == 0, (x.shape, n_micro)
     bad = [l.shape for l in jax.tree.leaves(stacked_params)
@@ -113,10 +144,10 @@ def pipeline_apply(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
     assert not bad, f"every leaf needs leading pp={pp} axis, got {bad}"
     fn = jax.shard_map(
         functools.partial(_pp_local, stage_fn=stage_fn, axis=axis,
-                          n_micro=n_micro),
+                          n_micro=n_micro, with_aux=with_aux),
         mesh=mesh,
         in_specs=(P(axis), P()),
-        out_specs=P())
+        out_specs=(P(), P()) if with_aux else P())
     return fn(stacked_params, x)
 
 
@@ -139,7 +170,8 @@ def llama_stack_layers(params, pp: int):
 def llama_pp_forward(params, cfg, tokens: jnp.ndarray, mesh: Mesh,
                      axis: str = "pp", n_micro: int = 4,
                      use_pallas: bool | None = False,
-                     remat: bool = False) -> jnp.ndarray:
+                     remat: bool = False,
+                     return_moe_aux: bool = False):
     """Pipeline-parallel full-sequence forward: (B, S) -> (B, S, vocab).
 
     Embedding, final norm and lm_head are replicated (they are a few
@@ -161,23 +193,33 @@ def llama_pp_forward(params, cfg, tokens: jnp.ndarray, mesh: Mesh,
     stacked = llama_stack_layers(params, pp)
 
     def one_block(layer, x):
-        return llama._block(layer, cfg, x, cos, sin, mask=mask,
-                            use_pallas=use_pallas)[0]
+        out, _, aux = llama._block(layer, cfg, x, cos, sin, mask=mask,
+                                   use_pallas=use_pallas)
+        return out, aux
 
     if remat:
         one_block = jax.checkpoint(one_block)
 
     def stage_fn(stage_layers, x):
+        aux = jnp.float32(0.0)
         for layer in stage_layers:
-            x = one_block(layer, x)
-        return x
+            x, a = one_block(layer, x)
+            aux = aux + a
+        return x, aux
 
     # stack_stages returned a list of stacked layer dicts; bundle it as
     # one pytree so pipeline_apply sees a single params argument
-    x = pipeline_apply(stage_fn, stacked, x, mesh, axis=axis,
-                       n_micro=n_micro)
+    x, aux = pipeline_apply(stage_fn, stacked, x, mesh, axis=axis,
+                            n_micro=n_micro, with_aux=True)
     x = llama.rmsnorm(x, params["out_norm"], cfg.norm_eps)
-    return llama.apply_linear(params["lm_head"], x, use_pallas)
+    logits = llama.apply_linear(params["lm_head"], x, use_pallas)
+    if return_moe_aux:
+        # mean per layer, matching llama.forward(return_moe_aux=True);
+        # NOTE the microbatch mean: moe chunking sees mb*s tokens per
+        # call, so MoE aux equals mean-of-per-microbatch losses (the
+        # single-device full-batch aux differs by chunk partitioning)
+        return logits, aux / max(1, len(params["layers"]))
+    return logits
 
 
 def make_pp_train_step(cfg, mesh: Mesh, axis: str = "pp",
@@ -188,20 +230,27 @@ def make_pp_train_step(cfg, mesh: Mesh, axis: str = "pp",
 
     Gradients through the GPipe schedule are exact (pipeline_apply), so
     this step's loss/updates match the single-device step on the same
-    tokens — asserted in tests/test_pipeline.py. Returns
-    ``step(params, tokens) -> (params, loss)``; params stay in the
-    plain llama layout (stacking happens inside the traced function, so
-    checkpoints and the other parallel layers see the standard tree)."""
+    tokens — asserted in tests/test_pipeline.py. MoE configs include
+    the load-balance aux (cfg.moe_aux_weight), computed per microbatch
+    and averaged — equal to the mean of per-microbatch single-device
+    losses (the full-batch aux differs slightly by chunk partitioning).
+    Returns ``step(params, tokens) -> (params, loss)``; params stay in
+    the plain llama layout (stacking happens inside the traced
+    function, so checkpoints and the other parallel layers see the
+    standard tree)."""
     from how_to_optimize_gemm_tpu.models import llama
-    from how_to_optimize_gemm_tpu.parallel.training import split_trainable
+    from how_to_optimize_gemm_tpu.parallel.training import (
+        sgd_update, split_trainable)
 
     def loss_of_params(params, tokens):
-        logits = llama_pp_forward(params, cfg, tokens[:, :-1], mesh,
-                                  axis=axis, n_micro=n_micro,
-                                  use_pallas=use_pallas, remat=remat)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32))
-        nll = -jnp.take_along_axis(logp, tokens[:, 1:][..., None], -1)
-        return jnp.mean(nll)
+        logits, aux = llama_pp_forward(params, cfg, tokens[:, :-1],
+                                       mesh, axis=axis, n_micro=n_micro,
+                                       use_pallas=use_pallas,
+                                       remat=remat, return_moe_aux=True)
+        loss = llama.token_nll(logits, tokens[:, 1:])
+        if cfg.n_experts > 0:
+            loss = loss + cfg.moe_aux_weight * aux
+        return loss
 
     @jax.jit
     def step(params, tokens):
@@ -212,8 +261,6 @@ def make_pp_train_step(cfg, mesh: Mesh, axis: str = "pp",
             return loss_of_params(rebuild(floats, all_leaves), tokens)
 
         loss, grads = jax.value_and_grad(loss_of)(floats)
-        floats = [(p - lr * g.astype(p.dtype)).astype(p.dtype)
-                  for p, g in zip(floats, grads)]
-        return rebuild(floats, all_leaves), loss
+        return rebuild(sgd_update(floats, grads, lr), all_leaves), loss
 
     return step

@@ -63,6 +63,14 @@ def split_trainable(params):
     return [leaves[i] for i in idx], rebuild
 
 
+def sgd_update(floats, grads, lr):
+    """Plain SGD on the float-leaf list, preserving each leaf's dtype
+    (bf16 params get bf16 updates). Shared by llama.sgd_train_step and
+    pipeline.make_pp_train_step so the update rule can't diverge."""
+    return [(p - lr * g.astype(p.dtype)).astype(p.dtype)
+            for p, g in zip(floats, grads)]
+
+
 def make_optimizer(lr: float = 3e-4, weight_decay: float = 0.01,
                    clip: float = 1.0):
     return optax.chain(

@@ -136,3 +136,50 @@ def test_pp_train_step_matches_single_device(devices8):
     for a, b in zip(jax.tree.leaves(new_pp), jax.tree.leaves(new_sd)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-5)
+
+
+def test_pp_train_step_moe_includes_aux(devices8):
+    """MoE configs train through PP WITH the load-balance aux: the PP
+    loss/updates equal the microbatch-mean of single-device losses
+    (loss_fn includes cfg.moe_aux_weight * aux; routing is per chunk,
+    and each microbatch is one chunk here, so the equality is exact)."""
+    import dataclasses
+    from how_to_optimize_gemm_tpu.models import llama
+    from how_to_optimize_gemm_tpu.parallel.pipeline import (
+        make_pp_train_step)
+    from how_to_optimize_gemm_tpu.parallel.training import (
+        sgd_update, split_trainable)
+    pp, n_micro = 4, 2
+    mesh = make_axis_mesh(devices=devices8[:pp], pp=pp)
+    cfg = llama.LlamaConfig(vocab=64, d_model=32, n_layers=4, n_heads=4,
+                            n_kv_heads=2, d_ff=64, max_seq=16,
+                            weight_kind="fp32", n_experts=4,
+                            moe_aux_weight=0.05)
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                                cfg.vocab)
+    step = make_pp_train_step(cfg, mesh, n_micro=n_micro, lr=1e-2)
+    new_pp, loss_pp = step(params, tokens)
+
+    mb = tokens.shape[0] // n_micro
+    all_leaves = jax.tree.leaves(params)
+    floats, rebuild = split_trainable(params)
+
+    def ref_loss(floats):
+        p = rebuild(floats, all_leaves)
+        return jnp.mean(jnp.stack(
+            [llama.loss_fn(p, cfg, tokens[i * mb:(i + 1) * mb])
+             for i in range(n_micro)]))
+
+    loss_ref, grads = jax.value_and_grad(ref_loss)(floats)
+    new_ref = rebuild(sgd_update(floats, grads, 1e-2), all_leaves)
+    np.testing.assert_allclose(float(loss_pp), float(loss_ref),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(new_pp), jax.tree.leaves(new_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
+    # the aux really is in the loss: zeroing its weight changes it
+    cfg0 = dataclasses.replace(cfg, moe_aux_weight=0.0)
+    _, loss0 = make_pp_train_step(cfg0, mesh, n_micro=n_micro,
+                                  lr=1e-2)(params, tokens)
+    assert float(loss_pp) > float(loss0)
