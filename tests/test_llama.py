@@ -303,3 +303,26 @@ def test_moe_loss_includes_aux_and_tp_shards(devices8):
     toks = jax.device_put(tokens, tok_sh)
     new_params, loss2 = step(sharded, toks)
     assert np.isfinite(float(loss2))
+
+
+def test_init_params_expert_stacks_follow_weight_kind():
+    """init_params stores expert stacks at cfg.weight_kind's width, like
+    every other linear — an int8 model must not silently carry (and
+    bench as) bf16 experts."""
+    import dataclasses
+    cfg8 = dataclasses.replace(MOE_CFG, weight_kind="int8")
+    p8 = llama.init_params(jax.random.PRNGKey(0), cfg8)
+    moe8 = p8["layers"][0]["moe"]
+    assert "w_in_q" in moe8 and moe8["w_in_q"].dtype == jnp.int8
+    cfg4 = dataclasses.replace(MOE_CFG, weight_kind="w4a8")
+    p4 = llama.init_params(jax.random.PRNGKey(0), cfg4)
+    moe4 = p4["layers"][0]["moe"]
+    assert "w_in_q4" in moe4 and "w_in_q" not in moe4
+    # bf16/fp32 stay dense
+    pd = llama.init_params(jax.random.PRNGKey(0), MOE_CFG)
+    assert "w_in" in pd["layers"][0]["moe"]
+    # the int8-expert model runs end to end
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (1, 6), 0,
+                                cfg8.vocab)
+    out = llama.forward(p8, cfg8, tokens, use_pallas=False)
+    assert np.isfinite(np.asarray(out)).all()
