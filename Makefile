@@ -10,10 +10,13 @@
 #   make bench
 #   make native
 
+#   make tune NEW=14_packed_alias_int8 P=4096
+
 OLD ?= 01_xla_fp32
 NEW ?= 05_pallas_bf16
 SWEEP ?= --quick
 OUT ?= outputs
+P ?= 4096
 
 run:
 	python -u -m how_to_optimize_gemm_tpu.harness.driver \
@@ -36,4 +39,8 @@ bench:
 native:
 	$(MAKE) -C csrc
 
-.PHONY: run plot probes test bench native
+tune:
+	python -u -m how_to_optimize_gemm_tpu.harness.autotune \
+	  --rung $(NEW) --p $(P)
+
+.PHONY: run plot probes test bench native tune

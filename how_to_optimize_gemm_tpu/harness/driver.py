@@ -47,14 +47,19 @@ def run_sweep(rung_name: str, config: SweepConfig | None = None,
               output_dir=None, strict: bool = True,
               verbose: bool = True,
               quant_oracle: bool = True,
-              verify: bool | str = True) -> list[SweepRow]:
+              verify: bool | str = True,
+              tuned: bool = False) -> list[SweepRow]:
     """verify: True = full fp64 host oracle (the default, every row);
     "device" = on-device fp32-HIGHEST cross-check (jnp.dot of the
     effective operands — a different code path from any rung, ~ms per
     row even at p=4096; gates indexing/accumulation bugs but at fp32
     summation noise ~1e-6 rather than fp64 exactness); False = skip —
     ONLY for callers that gated the same rung at another size in the
-    same run (the fp64 oracle at 4096 costs minutes of host time)."""
+    same run (the fp64 oracle at 4096 costs minutes of host time).
+
+    tuned=True consults the autotune cache (harness/autotune.py) per
+    row and passes any stored (bm, bn, bk) through to the kernel;
+    rows/rungs with no committed tuning run exactly as before."""
     config = config or SweepConfig()
     rung = registry.get(rung_name)
     key = jax.random.PRNGKey(config.seed)
@@ -64,12 +69,25 @@ def run_sweep(rung_name: str, config: SweepConfig | None = None,
         a, b, c = make_abc(sub, m, n, k, ones=config.ones_fixture)
         prepared = jax.block_until_ready(rung.prepare(a, b))
 
+        run_fn = rung.run
+        if tuned:
+            import functools
+
+            from how_to_optimize_gemm_tpu.harness import autotune
+            hit = autotune.cached(rung_name, m, n, k)
+            if hit is not None:
+                run_fn = functools.partial(rung.run, bm=hit[0],
+                                           bn=hit[1], bk=hit[2])
+                if verbose:
+                    print(f"  [tuned blocks bm={hit[0]} bn={hit[1]} "
+                          f"bk={hit[2]}]")
+
         if not verify:
             cmp_eff = oracle.CompareResult(0.0, 0.0, None)
             cmp_q = cmp_eff
         elif verify == "device":
             import jax.numpy as jnp
-            out_dev = rung.run(*prepared, c)
+            out_dev = run_fn(*prepared, c)
             ae, be = rung.effective(prepared)
             ref_dev = (jnp.dot(jnp.asarray(ae), jnp.asarray(be),
                                precision=jax.lax.Precision.HIGHEST)
@@ -79,7 +97,7 @@ def run_sweep(rung_name: str, config: SweepConfig | None = None,
             cmp_eff = oracle.CompareResult(max_abs, max_abs / denom, None)
             cmp_q = cmp_eff
         else:
-            out = np.asarray(rung.run(*prepared, c))
+            out = np.asarray(run_fn(*prepared, c))
             ae, be = rung.effective(prepared)
             ref_eff = oracle.ref_mmult(np.asarray(ae), np.asarray(be),
                                        np.asarray(c))
@@ -107,7 +125,7 @@ def run_sweep(rung_name: str, config: SweepConfig | None = None,
         mode = rung.chain
         if mode == "via_b" and not (m == n == k):
             mode = "barrier"
-        best = time_chained(rung.run, prepared, c,
+        best = time_chained(run_fn, prepared, c,
                             inner_iters=config.nrepeats,
                             outer_repeats=3, warmup=config.warmup,
                             chain=mode)
@@ -145,6 +163,11 @@ def main(argv=None):
     ap.add_argument("--pinc", type=int, default=None)
     ap.add_argument("--nrepeats", type=int, default=None)
     ap.add_argument("--no-strict", action="store_true")
+    ap.add_argument("--tuned", action="store_true",
+                    help="consult outputs/autotune.json per row and "
+                         "pass any stored (bm, bn, bk) to the kernel "
+                         "(harness/autotune.py; absent entries run the "
+                         "built-in choosers)")
     ap.add_argument("--roofline", action="store_true",
                     help="print ANALYTIC top-down roofline attribution "
                          "per rung (harness/profiling.py)")
@@ -168,7 +191,8 @@ def main(argv=None):
         if name is None:
             continue
         print(f"== {tag}: {name} ==")
-        rows = run_sweep(name, config, out_dir, strict=not args.no_strict)
+        rows = run_sweep(name, config, out_dir,
+                         strict=not args.no_strict, tuned=args.tuned)
         # old/new A-B snapshot convention (aarch64/makefile:43-44)
         shutil.copy(out_dir / f"output_{name}.m",
                     out_dir / f"output_{tag}.m")
