@@ -315,6 +315,51 @@ def _update_cache(cache, new, pos, write_mask=None):
     )(cache, new, pos)
 
 
+def _update_paged_cache(pool, new, pos, table, write_mask=None):
+    """Paged-cache write: pool (NP, PS, KVH, D) <- new (B, S, KVH, D) at
+    positions pos..pos+S-1, routed through the block table (B, max_pages).
+
+    One flat row scatter: per-token physical (page, offset) indices come
+    from the table; masked slots (write_mask False) and positions whose
+    chunk is unallocated (table entry 0) land on the TRASH page 0, which
+    no live table row ever references — the paged analogue of the
+    contiguous path's "bogus writes beyond the prompt are harmless"
+    argument (_update_cache), made harmless by construction."""
+    new = new.astype(pool.dtype)
+    b, s = new.shape[:2]
+    ps = pool.shape[1]
+    posv = pos if jnp.ndim(pos) else jnp.full((b,), pos, jnp.int32)
+    positions = posv[:, None] + jnp.arange(s)            # (B, S)
+    chunk = jnp.clip(positions // ps, 0, table.shape[1] - 1)
+    pages = jnp.take_along_axis(table, chunk, axis=1)    # (B, S)
+    offs = positions % ps
+    if write_mask is not None:
+        pages = jnp.where(write_mask[:, None], pages, 0)
+    return pool.at[pages.reshape(-1), offs.reshape(-1)].set(
+        new.reshape((b * s,) + new.shape[2:]))
+
+
+def init_paged_kv_cache(cfg: LlamaConfig, n_pages: int, page: int,
+                        dtype=jnp.bfloat16, quantized: bool = False):
+    """Page-pool cache: per layer (k_pool, v_pool) of shape
+    (n_pages, page, KVH, D). Page 0 is the reserved trash page (see
+    _update_paged_cache); the block table lives with the ENGINE (one
+    table shared by all layers — same slot->page geometry), not here.
+
+    quantized=True (KV8): per layer (qk, sk, qv, sv) pools — int8
+    values + lane-padded (n_pages, page, 128) fp32 scales, the paged
+    form of init_kv_cache's quantized layout."""
+    shape = (n_pages, page, cfg.n_kv_heads, cfg.d_head)
+    if quantized:
+        assert cfg.n_kv_heads <= 128
+        sshape = (n_pages, page, 128)
+        mk = lambda: (jnp.zeros(shape, jnp.int8),
+                      jnp.zeros(sshape, jnp.float32))
+        return [mk() + mk() for _ in range(cfg.n_layers)]
+    return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+            for _ in range(cfg.n_layers)]
+
+
 def _mlp(layer, cfg: LlamaConfig, y, use_pallas):
     """SwiGLU MLP, dense or routed: cfg.n_experts > 0 stores a "moe"
     dict instead of w_gate/w_up/w_down and routes every token to its
@@ -361,6 +406,89 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
     k = apply_rope(k, cos, sin)
 
     new_kv = None
+    if kv is not None and len(kv) == 6:
+        # KV8 paged cache: (qk_pool, sk_pool, qv_pool, sv_pool, table,
+        # pos) — quantized page pools through the same block table.
+        from how_to_optimize_gemm_tpu.ops.pallas_paged_attention import (
+            gather_paged, paged_decode_attention_q8)
+        qkp, skp, qvp, svp, table, pos = kv
+        ps = qkp.shape[1]
+        t_virt = table.shape[1] * ps
+        kq, ks = quantize_kv(k)
+        vq, vs = quantize_kv(v)
+        pad_g = skp.shape[-1] - ks.shape[-1]
+        ks = jnp.pad(ks, ((0, 0), (0, 0), (0, pad_g)))
+        vs = jnp.pad(vs, ((0, 0), (0, 0), (0, pad_g)))
+        qkp = _update_paged_cache(qkp, kq, pos, table, write_mask)
+        skp = _update_paged_cache(skp, ks, pos, table, write_mask)
+        qvp = _update_paged_cache(qvp, vq, pos, table, write_mask)
+        svp = _update_paged_cache(svp, vs, pos, table, write_mask)
+        if prefill_self:
+            if _route_flash(use_pallas, s, dh):
+                from how_to_optimize_gemm_tpu.ops.pallas_attention import (
+                    mha_flash)
+                attn = mha_flash(q, k.astype(jnp.bfloat16),
+                                 v.astype(jnp.bfloat16), causal=True)
+            else:
+                causal = jnp.tril(jnp.ones((s, s), bool))
+                attn = _attention(q, k, v, causal)
+        elif s == 1 and _route_decode(use_pallas, t_virt, dh, kvh,
+                                      batch=b, kv8=True):
+            lengths = (pos if jnp.ndim(pos) else jnp.full(
+                (b,), pos, jnp.int32)) + 1
+            attn = paged_decode_attention_q8(
+                q[:, 0], qkp, skp, qvp, svp, table, lengths)[:, None]
+        else:
+            q_pos = (pos[..., None] if jnp.ndim(pos) else pos) \
+                + jnp.arange(s)
+            valid = jnp.arange(t_virt) <= q_pos[..., None]
+            attn = _attention_kv8(q, gather_paged(qkp, table),
+                                  gather_paged(skp, table),
+                                  gather_paged(qvp, table),
+                                  gather_paged(svp, table), valid)
+        x = x + apply_linear(layer["wo"], attn, use_pallas)
+        y = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
+        mlp_out, aux = _mlp(layer, cfg, y, use_pallas)
+        return x + mlp_out, (qkp, skp, qvp, svp), aux
+    if kv is not None and len(kv) == 4:
+        # Paged (block-table) cache: (k_pool, v_pool, table, pos) — see
+        # ops/pallas_paged_attention. Routing mirrors the contiguous
+        # branch with t = the table's virtual extent.
+        from how_to_optimize_gemm_tpu.ops.pallas_paged_attention import (
+            gather_paged, paged_decode_attention as _pda)
+        k_pool, v_pool, table, pos = kv
+        ps = k_pool.shape[1]
+        t_virt = table.shape[1] * ps
+        k_pool = _update_paged_cache(k_pool, k, pos, table, write_mask)
+        v_pool = _update_paged_cache(v_pool, v, pos, table, write_mask)
+        if prefill_self:
+            if _route_flash(use_pallas, s, dh):
+                from how_to_optimize_gemm_tpu.ops.pallas_attention import (
+                    mha_flash)
+                attn = mha_flash(q, k.astype(jnp.bfloat16),
+                                 v.astype(jnp.bfloat16), causal=True)
+            else:
+                causal = jnp.tril(jnp.ones((s, s), bool))
+                attn = _attention(q, k, v, causal)
+        elif s == 1 and _route_decode(use_pallas, t_virt, dh, kvh,
+                                      batch=b):
+            lengths = (pos if jnp.ndim(pos) else jnp.full(
+                (b,), pos, jnp.int32)) + 1
+            attn = _pda(q[:, 0], k_pool, v_pool, table, lengths)[:, None]
+        else:
+            # eager fallback (CPU / short caches): gather the pool into
+            # a slot-contiguous view — the same full-cache read the
+            # contiguous eager path pays
+            kc = gather_paged(k_pool, table)
+            vc = gather_paged(v_pool, table)
+            q_pos = (pos[..., None] if jnp.ndim(pos) else pos) \
+                + jnp.arange(s)
+            valid = jnp.arange(t_virt) <= q_pos[..., None]
+            attn = _attention(q, kc, vc, valid)
+        x = x + apply_linear(layer["wo"], attn, use_pallas)
+        y = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
+        mlp_out, aux = _mlp(layer, cfg, y, use_pallas)
+        return x + mlp_out, (k_pool, v_pool), aux
     if kv is not None and len(kv) == 5:
         # KV8 quantized cache: (qk, sk, qv, sv, pos)
         qk, sk, qv, sv, pos = kv
@@ -587,20 +715,24 @@ def _attention_kv8(q, qk, sk, qv, sv, mask):
 def decode_step(params, cfg: LlamaConfig, cache, tokens: jnp.ndarray,
                 pos: jnp.ndarray, use_pallas: bool | None = None,
                 write_mask: jnp.ndarray | None = None,
-                prefill_self: bool = False):
+                prefill_self: bool = False,
+                table: jnp.ndarray | None = None):
     """One decode step: tokens (B, S) at position pos (scalar or per-slot
     (B,) vector) -> (logits, cache). write_mask (B,) bool restricts which
     slots' caches are written (used by batched prefill). prefill_self:
     the masked slot starts at pos 0, so attention is computed as causal
     self-attention over the new tokens only (flash-routable; no cache
-    read)."""
+    read). table (B, max_pages): the cache is PAGED — entries are
+    (k_pool, v_pool) page pools read/written through this block table
+    (see init_paged_kv_cache / ops/pallas_paged_attention)."""
     b, s = tokens.shape
     x = params["embed"][tokens]
     positions = (pos[..., None] if jnp.ndim(pos) else pos) + jnp.arange(s)
     cos, sin = _rope_freqs(cfg, positions)
     new_cache = []
     for layer, entry in zip(params["layers"], cache):
-        x, kv, _ = _block(layer, cfg, x, cos, sin, kv=(*entry, pos),
+        kv = (*entry, table, pos) if table is not None else (*entry, pos)
+        x, kv, _ = _block(layer, cfg, x, cos, sin, kv=kv,
                        use_pallas=use_pallas, write_mask=write_mask,
                        prefill_self=prefill_self)
         new_cache.append(kv)

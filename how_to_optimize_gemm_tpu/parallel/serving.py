@@ -62,7 +62,16 @@ class ServingEngine:
                  batch_slots: int = 4, mesh=None,
                  use_pallas: bool | None = None,
                  sample: Callable | None = None,
-                 cache_kind: str = "bf16"):
+                 cache_kind: str = "bf16",
+                 paged: bool = False, page: int | None = None,
+                 cache_pages: int | None = None):
+        """paged=True swaps the contiguous per-slot cache for a shared
+        page pool + block table (ops/pallas_paged_attention): cache HBM
+        tracks tokens that exist, not slots x max_seq. page = tokens per
+        page (default: good_page_size for the model's KV width);
+        cache_pages = pool size INCLUDING the trash page (default:
+        contiguous-equivalent capacity; pass less to oversubscribe — the
+        engine preempts-and-requeues when the pool runs dry)."""
         self.cfg = cfg
         self.batch = batch_slots
         if mesh is not None:
@@ -78,8 +87,32 @@ class ServingEngine:
 
         cache_dtype = jnp.bfloat16
 
+        self.paged = paged
+        if paged:
+            from how_to_optimize_gemm_tpu.ops.pallas_paged_attention \
+                import good_page_size
+            ps = page or good_page_size(cfg.n_kv_heads, cfg.d_head,
+                                        1 if cache_kind == "int8" else 2)
+            self.page = ps
+            self.np_max = -(-cfg.max_seq // ps)          # ceil
+            n_pages = cache_pages or (batch_slots * self.np_max + 1)
+            assert n_pages >= 2, "pool needs >= 1 real page + trash"
+            self.n_pages = n_pages
+            # host-side allocator state: page 0 is the reserved trash
+            # page, never handed out
+            self._free = list(range(1, n_pages))
+            self.slot_pages: list[list[int]] = [[] for _ in
+                                                range(batch_slots)]
+            self.table_np = np.zeros((batch_slots, self.np_max),
+                                     np.int32)
+            # admission order per slot — the preemption victim policy
+            # (newest admitted goes first, vLLM-style)
+            self.slot_seq = np.zeros(batch_slots, np.int64)
+            self._seq = 0
+
         @functools.partial(jax.jit, static_argnames=("window",))
-        def _decode(params, cache, tokens, pos, key, window=1):
+        def _decode(params, cache, tokens, pos, key, table=None,
+                    window=1):
             # window > 1: W decode steps in ONE dispatch (lax.scan) — on
             # a remote-relay platform each dispatch costs ~24 ms of round
             # trip, so per-step dispatch caps e2e serving at ~40 steps/s
@@ -91,7 +124,8 @@ class ServingEngine:
                 cache, tok, pos, key = carry
                 key, sub = jax.random.split(key)
                 logits, cache = llama.decode_step(params, cfg, cache,
-                                                  tok, pos, use_pallas)
+                                                  tok, pos, use_pallas,
+                                                  table=table)
                 nxt = sampler(logits[:, -1, :], sub)
                 return (cache, nxt[:, None], pos + 1, key), nxt
             (cache, _, _, _), toks = jax.lax.scan(
@@ -99,14 +133,15 @@ class ServingEngine:
             return toks, cache  # toks: (window, B)
 
         @functools.partial(jax.jit, static_argnames=())
-        def _prefill(params, cache, tokens, pos, write_mask):
+        def _prefill(params, cache, tokens, pos, write_mask, table=None):
             # prefill_self: the admitted slot is at pos 0, so attention
             # is causal self-attention over the prompt (flash-routable) —
             # the eager cached path would cost (B, P, max_seq) scores.
             logits, cache = llama.decode_step(params, cfg, cache, tokens,
                                               pos, use_pallas,
                                               write_mask=write_mask,
-                                              prefill_self=True)
+                                              prefill_self=True,
+                                              table=table)
             return logits, cache
 
         @jax.jit
@@ -117,12 +152,60 @@ class ServingEngine:
         self._prefill = _prefill
         self._sample_one = lambda logits, s, idx, key: int(
             _sample_one(logits, s, idx, key))
-        self.cache = llama.init_kv_cache(cfg, batch_slots, cache_dtype,
-                                         quantized=cache_kind == "int8")
+        if paged:
+            self.cache = llama.init_paged_kv_cache(
+                cfg, self.n_pages, self.page, cache_dtype,
+                quantized=cache_kind == "int8")
+        else:
+            self.cache = llama.init_kv_cache(
+                cfg, batch_slots, cache_dtype,
+                quantized=cache_kind == "int8")
         self.slot_req: list[Request | None] = [None] * batch_slots
         self.slot_pos = np.zeros(batch_slots, np.int32)
         self.slot_tok = np.zeros(batch_slots, np.int32)
         self._eos_id: int | None = None
+
+    # ------------------------------------------------- paged-cache admin
+    def _pages_for(self, n_tokens: int) -> int:
+        return -(-n_tokens // self.page)
+
+    def _grow_slot(self, s: int, n_tokens: int) -> bool:
+        """Ensure slot s's table covers n_tokens; False if the pool is
+        dry (caller decides: defer admission or preempt)."""
+        need = self._pages_for(n_tokens)
+        while len(self.slot_pages[s]) < need:
+            if not self._free:
+                return False
+            p = self._free.pop()
+            self.table_np[s, len(self.slot_pages[s])] = p
+            self.slot_pages[s].append(p)
+        return True
+
+    def _release_pages(self, s: int) -> None:
+        if not self.paged:
+            return
+        self._free.extend(self.slot_pages[s])
+        self.slot_pages[s] = []
+        self.table_np[s, :] = 0
+
+    def _preempt_newest(self, protect: int, queue: list) -> bool:
+        """Recompute preemption (the vLLM policy): evict the NEWEST
+        admitted slot (except ``protect``), requeue its request at the
+        queue front with its tokens-so-far as the resume prompt — greedy
+        decoding continues bit-identically after re-admission (_admit
+        prefills prompt+out). Returns False if no victim exists."""
+        victims = [s for s in range(self.batch)
+                   if s != protect and self.slot_req[s] is not None]
+        if not victims:
+            return False
+        v = max(victims, key=lambda s: self.slot_seq[s])
+        req = self.slot_req[v]
+        self._release_pages(v)
+        self.slot_req[v] = None
+        self.slot_pos[v] = 0
+        self.slot_tok[v] = 0
+        queue.insert(0, req)
+        return True
 
     # ------------------------------------------------------------- admin
     @staticmethod
@@ -145,46 +228,78 @@ class ServingEngine:
         causal mask ever exposes it."""
         # Validate every candidate BEFORE touching slot state: raising
         # mid-admission would leave slots claimed with no prefill run.
+        # The effective prompt is prompt + out: a PREEMPTED request
+        # resumes by re-prefilling everything it has produced so far
+        # (recompute preemption — greedy continuation is bit-identical).
         n_empty = sum(1 for s in range(self.batch)
                       if self.slot_req[s] is None)
         for req in queue[:n_empty]:
-            if len(req.prompt) >= self.cfg.max_seq:
+            if len(req.prompt) + len(req.out) >= self.cfg.max_seq:
                 raise ValueError(
                     f"request {req.uid}: prompt length "
-                    f"{len(req.prompt)} >= max_seq {self.cfg.max_seq}"
-                    " (no room to generate); raise cfg.max_seq or"
-                    " truncate the prompt")
+                    f"{len(req.prompt) + len(req.out)} >= max_seq "
+                    f"{self.cfg.max_seq} (no room to generate); raise "
+                    "cfg.max_seq or truncate the prompt")
         admitted: list[tuple[int, Request]] = []
         for s in range(self.batch):
             if self.slot_req[s] is None and queue:
+                if self.paged:
+                    # admission is page-gated (no preemption here — that
+                    # would thrash); a request that can't fit STAYS
+                    # queued until completions free pages. A PARTIAL
+                    # grow must be rolled back — pages assigned to an
+                    # unoccupied slot would leak
+                    full_len = (len(queue[0].prompt)
+                                + len(queue[0].out))
+                    if not self._grow_slot(s, full_len):
+                        self._release_pages(s)
+                        break
                 req = queue.pop(0)
                 self.slot_req[s] = req
+                if self.paged:
+                    self._seq += 1
+                    self.slot_seq[s] = self._seq
                 admitted.append((s, req))
         if not admitted:
+            if (self.paged and queue
+                    and all(r is None for r in self.slot_req)
+                    and len(self._free) == self.n_pages - 1):
+                need = self._pages_for(len(queue[0].prompt)
+                                       + len(queue[0].out))
+                raise RuntimeError(
+                    f"request {queue[0].uid} needs {need} pages but the "
+                    f"pool has {self.n_pages - 1}; raise cache_pages")
             return
-        bucket = min(self._bucket(max(len(r.prompt)
+        bucket = min(self._bucket(max(len(r.prompt) + len(r.out)
                                       for _, r in admitted)),
                      self.cfg.max_seq)
         tokens = np.zeros((self.batch, bucket), np.int32)
         pos = self.slot_pos.copy()
         write_mask = np.zeros(self.batch, bool)
         for s, req in admitted:
-            tokens[s, :len(req.prompt)] = req.prompt
+            full = req.prompt + req.out
+            tokens[s, :len(full)] = full
             pos[s] = 0
             write_mask[s] = True
-        logits, self.cache = self._prefill(
-            self.params, self.cache, jnp.asarray(tokens),
-            jnp.asarray(pos), jnp.asarray(write_mask))
+        prefill_args = (self.params, self.cache, jnp.asarray(tokens),
+                        jnp.asarray(pos), jnp.asarray(write_mask))
+        if self.paged:
+            logits, self.cache = self._prefill(
+                *prefill_args, jnp.asarray(self.table_np))
+        else:
+            logits, self.cache = self._prefill(*prefill_args)
         import time as _time
         for s, req in admitted:
-            plen = len(req.prompt)
+            plen = len(req.prompt) + len(req.out)
             self.slot_pos[s] = plen
             self._key, sub = jax.random.split(self._key)
             tok = self._sample_one(logits, s, plen - 1, sub)
             # timestamp AFTER the blocking sample (dispatch is async —
             # stamping at dispatch return under-reported TTFT by nearly
-            # the whole prefill latency)
-            req.t_first = _time.perf_counter()
+            # the whole prefill latency); a RESUMED request keeps its
+            # original TTFT
+            if not req.t_first:
+                req.t_first = _time.perf_counter()
             self.slot_tok[s] = tok
             req.out.append(tok)
             # the admit-time token counts: honor max_new=1 / EOS here
@@ -192,7 +307,8 @@ class ServingEngine:
                     or (self._eos_id is not None
                         and tok == self._eos_id)):
                 req.done = True
-                req.t_done = req.t_first
+                req.t_done = _time.perf_counter()
+                self._release_pages(s)
                 self.slot_req[s] = None
                 self.slot_pos[s] = 0
                 self.slot_tok[s] = 0
@@ -222,11 +338,38 @@ class ServingEngine:
             # scanned decode step, and letting it count down 7,6,5,...
             # near max_seq would recompile the whole scan per value
             w = 1 << (w.bit_length() - 1)
+            if self.paged:
+                # the window writes positions pos..pos+w-1: every active
+                # slot needs page coverage for pos+w tokens BEFORE the
+                # dispatch; a dry pool preempts the newest slot (its
+                # request requeues and resumes by recompute)
+                for s in range(self.batch):
+                    if self.slot_req[s] is None:
+                        continue
+                    while not self._grow_slot(
+                            s, int(self.slot_pos[s]) + w):
+                        if not self._preempt_newest(s, queue):
+                            raise RuntimeError(
+                                f"slot {s} needs pages for "
+                                f"{int(self.slot_pos[s]) + w} tokens "
+                                "with no other slot to preempt; raise "
+                                "cache_pages")
+                if all(r is None for r in self.slot_req):
+                    # every active slot was preempted away (pathological
+                    # tiny pool); re-admit and retry
+                    self._admit(queue)
+                    continue
             tokens = jnp.asarray(self.slot_tok.reshape(-1, 1))
             pos = jnp.asarray(self.slot_pos)
             self._key, sub = jax.random.split(self._key)
-            toks, self.cache = self._decode(self.params, self.cache,
-                                            tokens, pos, sub, window=w)
+            if self.paged:
+                toks, self.cache = self._decode(
+                    self.params, self.cache, tokens, pos, sub,
+                    jnp.asarray(self.table_np), window=w)
+            else:
+                toks, self.cache = self._decode(self.params, self.cache,
+                                                tokens, pos, sub,
+                                                window=w)
             toks = np.asarray(toks)                    # (w, B)
             for s in range(self.batch):
                 req = self.slot_req[s]
@@ -241,6 +384,7 @@ class ServingEngine:
                     if len(req.out) >= req.max_new or hit_eos or full:
                         req.done = True
                         req.t_done = _time.perf_counter()
+                        self._release_pages(s)
                         self.slot_req[s] = None
                         self.slot_pos[s] = 0
                         self.slot_tok[s] = 0
@@ -252,15 +396,31 @@ class ServingEngine:
 
 def decode_tokens_per_sec(cfg, params, batch: int = 8, steps: int = 32,
                           use_pallas: bool | None = None,
-                          mesh=None, cache_kind: str = "bf16") -> float:
-    """Steady-state decode throughput (tokens/s) at a fixed batch."""
+                          mesh=None, cache_kind: str = "bf16",
+                          paged: bool = False) -> float:
+    """Steady-state decode throughput (tokens/s) at a fixed batch.
+    paged=True runs the block-table cache with a fully-allocated
+    sequential table — the paged-vs-contiguous kernel A/B at identical
+    logical state."""
     from how_to_optimize_gemm_tpu.utils.timing import measure
 
     if mesh is not None:
         from how_to_optimize_gemm_tpu.parallel.sharding import shard_params
         params = shard_params(params, mesh)
-    cache = llama.init_kv_cache(cfg, batch,
-                                quantized=cache_kind == "int8")
+    table = None
+    if paged:
+        from how_to_optimize_gemm_tpu.ops.pallas_paged_attention import (
+            good_page_size)
+        ps = good_page_size(cfg.n_kv_heads, cfg.d_head,
+                            1 if cache_kind == "int8" else 2)
+        np_max = -(-cfg.max_seq // ps)
+        cache = llama.init_paged_kv_cache(cfg, batch * np_max + 1, ps,
+                                          quantized=cache_kind == "int8")
+        table = jnp.arange(1, batch * np_max + 1,
+                           dtype=jnp.int32).reshape(batch, np_max)
+    else:
+        cache = llama.init_kv_cache(cfg, batch,
+                                    quantized=cache_kind == "int8")
     tokens = jnp.ones((batch, 1), jnp.int32)
     pos = jnp.zeros((batch,), jnp.int32)
 
@@ -271,7 +431,8 @@ def decode_tokens_per_sec(cfg, params, batch: int = 8, steps: int = 32,
         def body(i, carry):
             cache, tokens, pos = carry
             logits, cache = llama.decode_step(params, cfg, cache, tokens,
-                                              pos, use_pallas)
+                                              pos, use_pallas,
+                                              table=table)
             nxt = jnp.argmax(logits[:, -1, :], axis=-1, keepdims=True)
             return cache, nxt.astype(jnp.int32), pos + 1
         cache, tokens, pos = jax.lax.fori_loop(
@@ -311,6 +472,9 @@ def main(argv=None):
     ap.add_argument("--cache-kind", default="bf16",
                     choices=["bf16", "int8"],
                     help="int8 = KV8 quantized cache (half cache HBM)")
+    ap.add_argument("--paged", action="store_true",
+                    help="block-table paged KV cache (fully-allocated "
+                         "table; the paged-vs-contiguous kernel A/B)")
     ap.add_argument("--n-experts", type=int, default=0,
                     help="MoE family: top-2 routed MLP with this many "
                          "SwiGLU experts (0 = dense)")
@@ -331,7 +495,8 @@ def main(argv=None):
     tps = decode_tokens_per_sec(cfg, params, batch=args.batch,
                                 steps=args.steps,
                                 use_pallas=use_pallas,
-                                cache_kind=args.cache_kind)
+                                cache_kind=args.cache_kind,
+                                paged=args.paged)
     wbytes = {"fp32": 4, "bf16": 2, "int8": 1, "int4": 0.5}[
         args.weight_kind]
     n_mlp_mats = 3 * max(cfg.n_experts, 1)

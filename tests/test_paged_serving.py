@@ -1,0 +1,117 @@
+"""Paged-cache serving engine: parity, allocator accounting, preemption."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from how_to_optimize_gemm_tpu.models import llama
+from how_to_optimize_gemm_tpu.parallel.serving import Request, ServingEngine
+
+CFG = llama.LlamaConfig(vocab=64, d_model=64, n_layers=2, n_heads=4,
+                        n_kv_heads=2, d_ff=128, max_seq=32,
+                        weight_kind="fp32")
+
+
+@pytest.fixture(scope="module")
+def params():
+    return llama.init_params(jax.random.PRNGKey(7), CFG)
+
+
+def _contiguous_outputs(params, prompts, max_new):
+    reqs = [Request(uid=i, prompt=list(p), max_new=max_new)
+            for i, p in enumerate(prompts)]
+    eng = ServingEngine(CFG, params, batch_slots=2, use_pallas=False)
+    return [r.out for r in eng.run(reqs)]
+
+
+def test_paged_engine_matches_contiguous(params):
+    prompts = [[3, 5, 7], [11, 2], [40, 41, 42, 43]]
+    ref = _contiguous_outputs(params, prompts, 6)
+    reqs = [Request(uid=i, prompt=list(p), max_new=6)
+            for i, p in enumerate(prompts)]
+    eng = ServingEngine(CFG, params, batch_slots=2, use_pallas=False,
+                        paged=True, page=8)
+    done = eng.run(reqs)
+    assert [r.out for r in done] == ref
+    assert all(r.done for r in done)
+    # all pages returned to the free list after completion
+    assert len(eng._free) == eng.n_pages - 1
+    assert not any(eng.slot_pages)
+    assert (eng.table_np == 0).all()
+
+
+def test_paged_memory_tracks_tokens(params):
+    # pool sized for FAR less than slots x max_seq still serves short
+    # requests: 2 slots x max_seq=32 / page=8 would need 8 pages
+    # contiguous-equivalent; give 5 (+trash) and run 4 short requests
+    reqs = [Request(uid=i, prompt=[i + 1, i + 2], max_new=4)
+            for i in range(4)]
+    eng = ServingEngine(CFG, params, batch_slots=2, use_pallas=False,
+                        paged=True, page=8, cache_pages=6)
+    done = eng.run(reqs)
+    assert all(r.done and len(r.out) == 4 for r in done)
+    assert len(eng._free) == 5
+
+
+def test_paged_preemption_keeps_greedy_stream(params):
+    # pool too small for both slots to reach full length: preemption
+    # must kick in, and the recompute-resumed greedy stream must equal
+    # the unconstrained engine's outputs exactly
+    prompts = [[3, 5, 7], [11, 2]]
+    max_new = 16                       # 2 slots x (3+16) tokens > 3 pages
+    ref = _contiguous_outputs(params, prompts, max_new)
+    reqs = [Request(uid=i, prompt=list(p), max_new=max_new)
+            for i, p in enumerate(prompts)]
+    eng = ServingEngine(CFG, params, batch_slots=2, use_pallas=False,
+                        paged=True, page=8, cache_pages=4)
+    done = eng.run(reqs, window=4)
+    assert [r.out for r in done] == ref
+    assert len(eng._free) == 3
+
+
+def test_paged_pool_too_small_raises(params):
+    # a single request needing more pages than the whole pool
+    reqs = [Request(uid=0, prompt=list(range(1, 18)), max_new=8)]
+    eng = ServingEngine(CFG, params, batch_slots=1, use_pallas=False,
+                        paged=True, page=8, cache_pages=3)
+    with pytest.raises(RuntimeError, match="pages"):
+        eng.run(reqs)
+
+
+def test_paged_window_invariance(params):
+    prompts = [[9, 8, 7], [1, 2, 3, 4]]
+    outs = []
+    for window in (1, 4):
+        reqs = [Request(uid=i, prompt=list(p), max_new=5)
+                for i, p in enumerate(prompts)]
+        eng = ServingEngine(CFG, params, batch_slots=2, use_pallas=False,
+                            paged=True, page=8)
+        outs.append([r.out for r in eng.run(reqs, window=window)])
+    assert outs[0] == outs[1]
+
+
+def test_paged_kv8_engine_matches_contiguous_kv8(params):
+    # paged + contiguous KV8 quantize identically at write time and the
+    # CPU fallback reads are the same eager math over the same values —
+    # the token streams must agree exactly
+    prompts = [[3, 5, 7], [11, 2], [40, 41, 42, 43]]
+    reqs_c = [Request(uid=i, prompt=list(p), max_new=6)
+              for i, p in enumerate(prompts)]
+    eng_c = ServingEngine(CFG, params, batch_slots=2, use_pallas=False,
+                          cache_kind="int8")
+    ref = [r.out for r in eng_c.run(reqs_c)]
+    reqs_p = [Request(uid=i, prompt=list(p), max_new=6)
+              for i, p in enumerate(prompts)]
+    eng_p = ServingEngine(CFG, params, batch_slots=2, use_pallas=False,
+                          cache_kind="int8", paged=True, page=8)
+    done = eng_p.run(reqs_p)
+    assert [r.out for r in done] == ref
+    assert len(eng_p._free) == eng_p.n_pages - 1
+
+
+def test_paged_tokens_per_sec_runs(params):
+    from how_to_optimize_gemm_tpu.parallel.serving import (
+        decode_tokens_per_sec)
+    tps = decode_tokens_per_sec(CFG, params, batch=2, steps=4,
+                                use_pallas=False, paged=True)
+    assert tps > 0
