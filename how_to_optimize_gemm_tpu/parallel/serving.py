@@ -64,14 +64,24 @@ class ServingEngine:
                  sample: Callable | None = None,
                  cache_kind: str = "bf16",
                  paged: bool = False, page: int | None = None,
-                 cache_pages: int | None = None):
+                 cache_pages: int | None = None,
+                 prefix_cache: bool = False):
         """paged=True swaps the contiguous per-slot cache for a shared
         page pool + block table (ops/pallas_paged_attention): cache HBM
         tracks tokens that exist, not slots x max_seq. page = tokens per
         page (default: good_page_size for the model's KV width);
         cache_pages = pool size INCLUDING the trash page (default:
         contiguous-equivalent capacity; pass less to oversubscribe — the
-        engine preempts-and-requeues when the pool runs dry)."""
+        engine preempts-and-requeues when the pool runs dry).
+
+        prefix_cache=True (needs paged) adds automatic prefix caching:
+        full pages of a prompt's K/V are content-addressed (chain hash
+        over the token prefix) and shared across requests by refcount —
+        a request whose prompt prefix was seen before attaches the
+        cached pages and prefills only its suffix (through the generic
+        cached-attention path). Completed requests' registered pages
+        stay resident as an LRU pool the allocator evicts last, so a
+        repeated system prompt costs its prefill once."""
         self.cfg = cfg
         self.batch = batch_slots
         if mesh is not None:
@@ -109,6 +119,15 @@ class ServingEngine:
             # (newest admitted goes first, vLLM-style)
             self.slot_seq = np.zeros(batch_slots, np.int64)
             self._seq = 0
+        self.prefix_cache = prefix_cache
+        if prefix_cache:
+            assert paged, "prefix_cache requires paged=True"
+            from collections import OrderedDict
+            self._refcount = np.zeros(self.n_pages, np.int64)
+            self._prefix_index: dict[bytes, int] = {}   # chain key -> page
+            self._page_key: dict[int, bytes] = {}
+            self._cached = OrderedDict()  # refcount-0 registered pages, LRU
+            self.prefix_hit_tokens = 0    # stat: prefill tokens skipped
 
         @functools.partial(jax.jit, static_argnames=("window",))
         def _decode(params, cache, tokens, pos, key, table=None,
@@ -144,12 +163,27 @@ class ServingEngine:
                                               table=table)
             return logits, cache
 
+        @functools.partial(jax.jit, static_argnames=())
+        def _prefill_at(params, cache, tokens, pos, write_mask,
+                        table=None):
+            # SUFFIX prefill (prefix-cache hits): the slot already holds
+            # cached K/V for positions < pos, so attention goes through
+            # the generic cached path — each suffix query attends the
+            # shared prefix plus its own causal block.
+            logits, cache = llama.decode_step(params, cfg, cache, tokens,
+                                              pos, use_pallas,
+                                              write_mask=write_mask,
+                                              prefill_self=False,
+                                              table=table)
+            return logits, cache
+
         @jax.jit
         def _sample_one(logits, s, idx, key):
             return sampler(logits[s, idx][None], key)[0]
 
         self._decode = _decode
         self._prefill = _prefill
+        self._prefill_at = _prefill_at
         self._sample_one = lambda logits, s, idx, key: int(
             _sample_one(logits, s, idx, key))
         if paged:
@@ -169,14 +203,39 @@ class ServingEngine:
     def _pages_for(self, n_tokens: int) -> int:
         return -(-n_tokens // self.page)
 
+    def _chunk_key(self, full: list[int], c: int) -> bytes:
+        """Content address of page c of a prompt: hash of the WHOLE
+        token prefix through that page (chain semantics — a page is
+        only reusable when everything before it matches too, since its
+        K/V attend nothing but absolute positions and token ids)."""
+        import hashlib
+        return hashlib.sha1(np.asarray(
+            full[:(c + 1) * self.page], np.int32).tobytes()).digest()
+
+    def _alloc_page(self) -> int | None:
+        """A free page, else (prefix cache) evict the least-recently
+        retired cached-prefix page — cached content is a best-effort
+        optimization, never a reason to deny live capacity."""
+        if self._free:
+            return self._free.pop()
+        if self.prefix_cache and self._cached:
+            p, _ = self._cached.popitem(last=False)
+            key = self._page_key.pop(p)
+            if self._prefix_index.get(key) == p:
+                del self._prefix_index[key]
+            return p
+        return None
+
     def _grow_slot(self, s: int, n_tokens: int) -> bool:
         """Ensure slot s's table covers n_tokens; False if the pool is
         dry (caller decides: defer admission or preempt)."""
         need = self._pages_for(n_tokens)
         while len(self.slot_pages[s]) < need:
-            if not self._free:
+            p = self._alloc_page()
+            if p is None:
                 return False
-            p = self._free.pop()
+            if self.prefix_cache:
+                self._refcount[p] = 1
             self.table_np[s, len(self.slot_pages[s])] = p
             self.slot_pages[s].append(p)
         return True
@@ -184,7 +243,22 @@ class ServingEngine:
     def _release_pages(self, s: int) -> None:
         if not self.paged:
             return
-        self._free.extend(self.slot_pages[s])
+        if self.prefix_cache:
+            for p in self.slot_pages[s]:
+                self._refcount[p] -= 1
+                if self._refcount[p] == 0:
+                    key = self._page_key.get(p)
+                    if (key is not None
+                            and self._prefix_index.get(key) == p):
+                        # registered prefix content: retire to the LRU
+                        # cache instead of freeing — a future identical
+                        # prompt reattaches it without prefill
+                        self._cached[p] = None
+                    else:
+                        self._page_key.pop(p, None)
+                        self._free.append(p)
+        else:
+            self._free.extend(self.slot_pages[s])
         self.slot_pages[s] = []
         self.table_np[s, :] = 0
 
@@ -240,18 +314,34 @@ class ServingEngine:
                     f"{len(req.prompt) + len(req.out)} >= max_seq "
                     f"{self.cfg.max_seq} (no room to generate); raise "
                     "cfg.max_seq or truncate the prompt")
-        admitted: list[tuple[int, Request]] = []
+        admitted: list[tuple[int, Request, int]] = []  # (slot, req, prefix)
         for s in range(self.batch):
             if self.slot_req[s] is None and queue:
+                full = queue[0].prompt + queue[0].out
+                prefix = 0
+                if self.paged and self.prefix_cache:
+                    # attach every cached full page of this prompt's
+                    # prefix (chain-keyed, so content AND position
+                    # match); cap so at least one suffix token remains
+                    # to prefill — the model must emit logits to sample
+                    for c in range((len(full) - 1) // self.page):
+                        p = self._prefix_index.get(
+                            self._chunk_key(full, c))
+                        if p is None:
+                            break
+                        self.table_np[s, c] = p
+                        self.slot_pages[s].append(p)
+                        self._refcount[p] += 1
+                        self._cached.pop(p, None)
+                        prefix += self.page
+                    self.prefix_hit_tokens += prefix
                 if self.paged:
                     # admission is page-gated (no preemption here — that
                     # would thrash); a request that can't fit STAYS
                     # queued until completions free pages. A PARTIAL
                     # grow must be rolled back — pages assigned to an
                     # unoccupied slot would leak
-                    full_len = (len(queue[0].prompt)
-                                + len(queue[0].out))
-                    if not self._grow_slot(s, full_len):
+                    if not self._grow_slot(s, len(full)):
                         self._release_pages(s)
                         break
                 req = queue.pop(0)
@@ -259,41 +349,85 @@ class ServingEngine:
                 if self.paged:
                     self._seq += 1
                     self.slot_seq[s] = self._seq
-                admitted.append((s, req))
+                admitted.append((s, req, prefix))
         if not admitted:
             if (self.paged and queue
-                    and all(r is None for r in self.slot_req)
-                    and len(self._free) == self.n_pages - 1):
+                    and all(r is None for r in self.slot_req)):
+                # nothing live holds pages, so this failure is permanent
+                # (prefix-cached pages are evictable and were offered)
                 need = self._pages_for(len(queue[0].prompt)
                                        + len(queue[0].out))
                 raise RuntimeError(
                     f"request {queue[0].uid} needs {need} pages but the "
                     f"pool has {self.n_pages - 1}; raise cache_pages")
             return
-        bucket = min(self._bucket(max(len(r.prompt) + len(r.out)
-                                      for _, r in admitted)),
-                     self.cfg.max_seq)
-        tokens = np.zeros((self.batch, bucket), np.int32)
-        pos = self.slot_pos.copy()
-        write_mask = np.zeros(self.batch, bool)
-        for s, req in admitted:
-            full = req.prompt + req.out
-            tokens[s, :len(full)] = full
-            pos[s] = 0
-            write_mask[s] = True
-        prefill_args = (self.params, self.cache, jnp.asarray(tokens),
-                        jnp.asarray(pos), jnp.asarray(write_mask))
-        if self.paged:
-            logits, self.cache = self._prefill(
-                *prefill_args, jnp.asarray(self.table_np))
-        else:
-            logits, self.cache = self._prefill(*prefill_args)
+        table = jnp.asarray(self.table_np) if self.paged else None
+        logits_of: dict[int, tuple] = {}   # slot -> (logits, sample idx)
+        fresh = [(s, r) for s, r, pfx in admitted if pfx == 0]
+        hits = [(s, r, pfx) for s, r, pfx in admitted if pfx > 0]
+        if fresh:
+            bucket = min(self._bucket(max(len(r.prompt) + len(r.out)
+                                          for _, r in fresh)),
+                         self.cfg.max_seq)
+            tokens = np.zeros((self.batch, bucket), np.int32)
+            pos = self.slot_pos.copy()
+            write_mask = np.zeros(self.batch, bool)
+            for s, req in fresh:
+                full = req.prompt + req.out
+                tokens[s, :len(full)] = full
+                pos[s] = 0
+                write_mask[s] = True
+            prefill_args = (self.params, self.cache, jnp.asarray(tokens),
+                            jnp.asarray(pos), jnp.asarray(write_mask))
+            if self.paged:
+                logits, self.cache = self._prefill(*prefill_args, table)
+            else:
+                logits, self.cache = self._prefill(*prefill_args)
+            for s, req in fresh:
+                logits_of[s] = (logits,
+                                len(req.prompt) + len(req.out) - 1)
+        if hits:
+            # suffix prefill: tokens from the first uncached position,
+            # pos = the attached prefix length (generic cached-attention
+            # path; one dispatch for all hit slots)
+            bucket = min(self._bucket(max(
+                len(r.prompt) + len(r.out) - pfx
+                for _, r, pfx in hits)), self.cfg.max_seq)
+            tokens = np.zeros((self.batch, bucket), np.int32)
+            pos = self.slot_pos.copy()
+            write_mask = np.zeros(self.batch, bool)
+            for s, req, pfx in hits:
+                suffix = (req.prompt + req.out)[pfx:]
+                tokens[s, :len(suffix)] = suffix
+                pos[s] = pfx
+                write_mask[s] = True
+            logits, self.cache = self._prefill_at(
+                self.params, self.cache, jnp.asarray(tokens),
+                jnp.asarray(pos), jnp.asarray(write_mask), table)
+            for s, req, pfx in hits:
+                logits_of[s] = (logits,
+                                len(req.prompt) + len(req.out) - pfx - 1)
+        if self.paged and self.prefix_cache:
+            # register this batch's fully-prompt-covered pages (decode
+            # never writes them: it starts past the last full page) —
+            # BEFORE sampling, which may complete-and-release a slot
+            for s, req, _ in admitted:
+                full = req.prompt + req.out
+                for c in range(len(full) // self.page):
+                    p = int(self.table_np[s, c])
+                    if p == 0:
+                        break
+                    key = self._chunk_key(full, c)
+                    if key not in self._prefix_index:
+                        self._prefix_index[key] = p
+                        self._page_key[p] = key
         import time as _time
-        for s, req in admitted:
+        for s, req, _ in admitted:
             plen = len(req.prompt) + len(req.out)
             self.slot_pos[s] = plen
             self._key, sub = jax.random.split(self._key)
-            tok = self._sample_one(logits, s, plen - 1, sub)
+            lg, idx = logits_of[s]
+            tok = self._sample_one(lg, s, idx, sub)
             # timestamp AFTER the blocking sample (dispatch is async —
             # stamping at dispatch return under-reported TTFT by nearly
             # the whole prefill latency); a RESUMED request keeps its

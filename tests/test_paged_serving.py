@@ -109,6 +109,93 @@ def test_paged_kv8_engine_matches_contiguous_kv8(params):
     assert len(eng_p._free) == eng_p.n_pages - 1
 
 
+def test_prefix_cache_reuses_pages(params):
+    # same 16-token prefix (2 pages at page=8), different tails: the
+    # second request must attach cached pages instead of prefilling
+    shared = list(range(1, 17))
+    prompts = [shared + [20], shared + [30]]
+    ref = []
+    for p in prompts:
+        eng = ServingEngine(CFG, params, batch_slots=1, use_pallas=False)
+        ref.append(eng.run([Request(uid=0, prompt=list(p),
+                                    max_new=5)])[0].out)
+    eng = ServingEngine(CFG, params, batch_slots=1, use_pallas=False,
+                        paged=True, page=8, prefix_cache=True)
+    outs = []
+    for i, p in enumerate(prompts):
+        outs.append(eng.run([Request(uid=i, prompt=list(p),
+                                     max_new=5)])[0].out)
+    assert outs == ref
+    # 2 full pages of the second prompt's prefix were served from cache
+    assert eng.prefix_hit_tokens == 16
+    # accounting: no live slots -> every page is free or cached, and
+    # refcounts are all zero
+    assert not any(eng.slot_pages)
+    assert (eng._refcount == 0).all()
+    assert len(eng._free) + len(eng._cached) == eng.n_pages - 1
+
+
+def test_prefix_cache_outputs_match_unshared(params):
+    # a mixed batch (hit + fresh in one admission pass) through a
+    # 2-slot engine equals the plain paged engine token for token
+    shared = list(range(1, 17))
+    prompts = [shared + [20], [40, 41, 42], shared + [30]]
+    reqs = [Request(uid=i, prompt=list(p), max_new=4)
+            for i, p in enumerate(prompts)]
+    plain = ServingEngine(CFG, params, batch_slots=2, use_pallas=False,
+                          paged=True, page=8)
+    ref = [r.out for r in plain.run(
+        [Request(uid=i, prompt=list(p), max_new=4)
+         for i, p in enumerate(prompts)])]
+    eng = ServingEngine(CFG, params, batch_slots=2, use_pallas=False,
+                        paged=True, page=8, prefix_cache=True)
+    done = eng.run(reqs)
+    assert [r.out for r in done] == ref
+    assert eng.prefix_hit_tokens >= 16
+
+
+def test_prefix_cache_lru_eviction(params):
+    # tiny pool: cached prefixes must be evicted (not hoarded) when a
+    # new request needs live pages; serving stays correct throughout
+    prompts = [list(range(1, 10)) + [i] for i in range(20, 26)]
+    eng = ServingEngine(CFG, params, batch_slots=1, use_pallas=False,
+                        paged=True, page=8, cache_pages=4,
+                        prefix_cache=True)
+    for i, p in enumerate(prompts):
+        ref_eng = ServingEngine(CFG, params, batch_slots=1,
+                                use_pallas=False)
+        ref = ref_eng.run([Request(uid=0, prompt=list(p),
+                                   max_new=3)])[0].out
+        out = eng.run([Request(uid=i, prompt=list(p),
+                               max_new=3)])[0].out
+        assert out == ref, (i, out, ref)
+    assert (eng._refcount == 0).all()
+    assert len(eng._free) + len(eng._cached) == eng.n_pages - 1
+
+
+def test_paged_engine_tp_sharded(devices8):
+    """Paged engine over a (1, tp=4) mesh: the page pools shard on the
+    KV-head axis like the contiguous cache; greedy output matches the
+    unsharded paged engine exactly."""
+    from how_to_optimize_gemm_tpu.parallel.mesh import make_mesh
+
+    cfg = llama.LlamaConfig(vocab=64, d_model=16 * 4, n_layers=2,
+                            n_heads=4, n_kv_heads=4, d_ff=32 * 4,
+                            max_seq=32, weight_kind="fp32")
+    tp_params = llama.init_params(jax.random.PRNGKey(5), cfg)
+    reqs = lambda: [Request(uid=0, prompt=[3, 5, 7], max_new=5),
+                    Request(uid=1, prompt=[9], max_new=5)]
+    plain = ServingEngine(cfg, tp_params, batch_slots=2,
+                          use_pallas=False, paged=True, page=8)
+    out_plain = [r.out for r in plain.run(reqs())]
+    mesh = make_mesh(dp=1, tp=4, devices=devices8[:4])
+    tp = ServingEngine(cfg, tp_params, batch_slots=2, mesh=mesh,
+                       use_pallas=False, paged=True, page=8,
+                       prefix_cache=True)
+    out_tp = [r.out for r in tp.run(reqs())]
+    assert out_tp == out_plain
+
+
 def test_paged_tokens_per_sec_runs(params):
     from how_to_optimize_gemm_tpu.parallel.serving import (
         decode_tokens_per_sec)
