@@ -360,7 +360,18 @@ def init_paged_kv_cache(cfg: LlamaConfig, n_pages: int, page: int,
             for _ in range(cfg.n_layers)]
 
 
-def _mlp(layer, cfg: LlamaConfig, y, use_pallas):
+def _lin(layer, name, x, use_pallas, lora=None):
+    """apply_linear plus the per-slot LoRA delta when a multi-adapter
+    tuple (layer_entry, idx, scale) is threaded in (models/lora)."""
+    y = apply_linear(layer[name], x, use_pallas)
+    if lora is not None and name in lora[0]:
+        from how_to_optimize_gemm_tpu.models.lora import lora_delta
+        y = y + lora_delta(lora[0][name], x, lora[1],
+                           lora[2]).astype(y.dtype)
+    return y
+
+
+def _mlp(layer, cfg: LlamaConfig, y, use_pallas, lora=None):
     """SwiGLU MLP, dense or routed: cfg.n_experts > 0 stores a "moe"
     dict instead of w_gate/w_up/w_down and routes every token to its
     top-k SwiGLU experts (parallel/moe.moe_ffn_local — same math as the
@@ -383,25 +394,27 @@ def _mlp(layer, cfg: LlamaConfig, y, use_pallas):
                                  k=cfg.moe_top_k, capacity_factor=cf,
                                  return_aux=True)
         return out.reshape(b, s, d), aux
-    gate = apply_linear(layer["w_gate"], y, use_pallas)
-    up = apply_linear(layer["w_up"], y, use_pallas)
-    return apply_linear(layer["w_down"], jax.nn.silu(gate) * up,
-                        use_pallas), jnp.float32(0.0)
+    gate = _lin(layer, "w_gate", y, use_pallas, lora)
+    up = _lin(layer, "w_up", y, use_pallas, lora)
+    return _lin(layer, "w_down", jax.nn.silu(gate) * up, use_pallas,
+                lora), jnp.float32(0.0)
 
 
 def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
            use_pallas=None, write_mask=None, prefill_self=False,
-           flash_train=False):
+           flash_train=False, lora=None):
     """One transformer block. kv None = full-sequence (training/prefill
     without cache); kv = (k_cache, v_cache, pos) for decode, pos scalar or
-    per-slot (B,) vector (continuous batching)."""
+    per-slot (B,) vector (continuous batching). lora = (layer_adapters,
+    idx, scale) threads per-row multi-LoRA deltas through every target
+    linear (models/lora)."""
     b, s, d = x.shape
     h, kvh, dh = cfg.n_heads, cfg.n_kv_heads, cfg.d_head
 
     y = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
-    q = apply_linear(layer["wq"], y, use_pallas).reshape(b, s, h, dh)
-    k = apply_linear(layer["wk"], y, use_pallas).reshape(b, s, kvh, dh)
-    v = apply_linear(layer["wv"], y, use_pallas).reshape(b, s, kvh, dh)
+    q = _lin(layer, "wq", y, use_pallas, lora).reshape(b, s, h, dh)
+    k = _lin(layer, "wk", y, use_pallas, lora).reshape(b, s, kvh, dh)
+    v = _lin(layer, "wv", y, use_pallas, lora).reshape(b, s, kvh, dh)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -446,9 +459,9 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
                                   gather_paged(skp, table),
                                   gather_paged(qvp, table),
                                   gather_paged(svp, table), valid)
-        x = x + apply_linear(layer["wo"], attn, use_pallas)
+        x = x + _lin(layer, "wo", attn, use_pallas, lora)
         y = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
-        mlp_out, aux = _mlp(layer, cfg, y, use_pallas)
+        mlp_out, aux = _mlp(layer, cfg, y, use_pallas, lora)
         return x + mlp_out, (qkp, skp, qvp, svp), aux
     if kv is not None and len(kv) == 4:
         # Paged (block-table) cache: (k_pool, v_pool, table, pos) — see
@@ -485,9 +498,9 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
                 + jnp.arange(s)
             valid = jnp.arange(t_virt) <= q_pos[..., None]
             attn = _attention(q, kc, vc, valid)
-        x = x + apply_linear(layer["wo"], attn, use_pallas)
+        x = x + _lin(layer, "wo", attn, use_pallas, lora)
         y = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
-        mlp_out, aux = _mlp(layer, cfg, y, use_pallas)
+        mlp_out, aux = _mlp(layer, cfg, y, use_pallas, lora)
         return x + mlp_out, (k_pool, v_pool), aux
     if kv is not None and len(kv) == 5:
         # KV8 quantized cache: (qk, sk, qv, sv, pos)
@@ -524,9 +537,9 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
                 + jnp.arange(s)
             valid = jnp.arange(t) <= q_pos[..., None]
             attn = _attention_kv8(q, qk, sk, qv, sv, valid)
-        x = x + apply_linear(layer["wo"], attn, use_pallas)
+        x = x + _lin(layer, "wo", attn, use_pallas, lora)
         y = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
-        mlp_out, aux = _mlp(layer, cfg, y, use_pallas)
+        mlp_out, aux = _mlp(layer, cfg, y, use_pallas, lora)
         return x + mlp_out, (qk, sk, qv, sv), aux
     if kv is None:
         if flash_train and _route_flash(True, s, dh):
@@ -593,10 +606,10 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
             # docstring).
             attn = _attention(q, k_cache, v_cache, valid)
         new_kv = (k_cache, v_cache)
-    x = x + apply_linear(layer["wo"], attn, use_pallas)
+    x = x + _lin(layer, "wo", attn, use_pallas, lora)
 
     y = rmsnorm(x, layer["mlp_norm"], cfg.norm_eps)
-    mlp_out, aux = _mlp(layer, cfg, y, use_pallas)
+    mlp_out, aux = _mlp(layer, cfg, y, use_pallas, lora)
     return x + mlp_out, new_kv, aux
 
 
@@ -716,7 +729,8 @@ def decode_step(params, cfg: LlamaConfig, cache, tokens: jnp.ndarray,
                 pos: jnp.ndarray, use_pallas: bool | None = None,
                 write_mask: jnp.ndarray | None = None,
                 prefill_self: bool = False,
-                table: jnp.ndarray | None = None):
+                table: jnp.ndarray | None = None,
+                lora=None, lora_idx: jnp.ndarray | None = None):
     """One decode step: tokens (B, S) at position pos (scalar or per-slot
     (B,) vector) -> (logits, cache). write_mask (B,) bool restricts which
     slots' caches are written (used by batched prefill). prefill_self:
@@ -724,17 +738,21 @@ def decode_step(params, cfg: LlamaConfig, cache, tokens: jnp.ndarray,
     self-attention over the new tokens only (flash-routable; no cache
     read). table (B, max_pages): the cache is PAGED — entries are
     (k_pool, v_pool) page pools read/written through this block table
-    (see init_paged_kv_cache / ops/pallas_paged_attention)."""
+    (see init_paged_kv_cache / ops/pallas_paged_attention).
+    lora + lora_idx (B,) int32 (-1 = base): per-row multi-LoRA deltas
+    on every adapted linear (models/lora — the BGMV serving path)."""
     b, s = tokens.shape
     x = params["embed"][tokens]
     positions = (pos[..., None] if jnp.ndim(pos) else pos) + jnp.arange(s)
     cos, sin = _rope_freqs(cfg, positions)
     new_cache = []
-    for layer, entry in zip(params["layers"], cache):
+    for li, (layer, entry) in enumerate(zip(params["layers"], cache)):
         kv = (*entry, table, pos) if table is not None else (*entry, pos)
+        blk_lora = None if lora is None else (
+            lora["layers"][li], lora_idx, lora["scale"])
         x, kv, _ = _block(layer, cfg, x, cos, sin, kv=kv,
                        use_pallas=use_pallas, write_mask=write_mask,
-                       prefill_self=prefill_self)
+                       prefill_self=prefill_self, lora=blk_lora)
         new_cache.append(kv)
     x = rmsnorm(x, params["out_norm"], cfg.norm_eps)
     logits = apply_linear(params["lm_head"], x, use_pallas)

@@ -32,16 +32,23 @@ class Request:
     max_new: int
     out: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    adapter: int = -1       # LoRA adapter id (-1 = base model)
     # latency bookkeeping (host wall clock, filled by the engine):
     t_submit: float = 0.0   # run() saw the request
     t_first: float = 0.0    # first token produced (TTFT = t_first-t_submit)
     t_done: float = 0.0
 
 
-def make_sampler(temperature: float = 1.0, top_k: int = 0):
+def make_sampler(temperature: float = 1.0, top_k: int = 0,
+                 top_p: float = 0.0, min_p: float = 0.0):
     """Device-side sampler: logits (B, V) + key -> (B,) int32 tokens.
+
     temperature <= 0 means greedy; top_k > 0 restricts to the k largest
-    logits before the categorical draw."""
+    logits; top_p in (0, 1) applies nucleus sampling (smallest set of
+    tokens whose probability mass reaches p); min_p in (0, 1) drops
+    tokens whose probability is below min_p x the top token's. Filters
+    compose (k, then p, then min_p) — all are static-shape sorts/scans,
+    jit-friendly."""
     def sample(logits, key):
         logits = logits.astype(jnp.float32)
         if temperature <= 0:
@@ -50,9 +57,42 @@ def make_sampler(temperature: float = 1.0, top_k: int = 0):
         if top_k:
             vals = jax.lax.top_k(scaled, top_k)[0]
             scaled = jnp.where(scaled >= vals[..., -1:], scaled, -1e30)
+        if 0.0 < top_p < 1.0:
+            # nucleus: sort descending, keep the prefix whose cumulative
+            # softmax mass is < p PLUS the first token crossing p
+            srt = jnp.sort(scaled, axis=-1)[..., ::-1]
+            probs = jax.nn.softmax(srt, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            keep = cum - probs < top_p        # mass BEFORE this token
+            # threshold = smallest kept logit
+            thresh = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
+                             keepdims=True)
+            scaled = jnp.where(scaled >= thresh, scaled, -1e30)
+        if 0.0 < min_p < 1.0:
+            probs = jax.nn.softmax(scaled, axis=-1)
+            pmax = jnp.max(probs, axis=-1, keepdims=True)
+            scaled = jnp.where(probs >= min_p * pmax, scaled, -1e30)
         return jax.random.categorical(key, scaled, axis=-1).astype(
             jnp.int32)
     return sample
+
+
+def repetition_penalty(logits, recent_tokens, penalty: float):
+    """CTRL-style repetition penalty: logits (B, V), recent_tokens
+    (B, N) int32 (pad with -1); penalized tokens' logits divide by
+    ``penalty`` when positive and multiply when negative."""
+    b, v = logits.shape
+    logits = logits.astype(jnp.float32)
+    # pad entries clip onto token 0, so mark with .max (a pad's False
+    # must not overwrite a real token-0 mark; .set keeps the LAST
+    # duplicate write, which would)
+    ids = jnp.clip(recent_tokens, 0, v - 1)
+    seen = jnp.zeros((b, v), jnp.int32).at[
+        jnp.arange(b)[:, None], ids].max(
+        (recent_tokens >= 0).astype(jnp.int32)).astype(bool)
+    penalized = jnp.where(logits > 0, logits / penalty,
+                          logits * penalty)
+    return jnp.where(seen, penalized, logits)
 
 
 class ServingEngine:
@@ -65,7 +105,8 @@ class ServingEngine:
                  cache_kind: str = "bf16",
                  paged: bool = False, page: int | None = None,
                  cache_pages: int | None = None,
-                 prefix_cache: bool = False):
+                 prefix_cache: bool = False,
+                 lora: dict | None = None):
         """paged=True swaps the contiguous per-slot cache for a shared
         page pool + block table (ops/pallas_paged_attention): cache HBM
         tracks tokens that exist, not slots x max_seq. page = tokens per
@@ -81,7 +122,12 @@ class ServingEngine:
         cached pages and prefills only its suffix (through the generic
         cached-attention path). Completed requests' registered pages
         stay resident as an LRU pool the allocator evicts last, so a
-        repeated system prompt costs its prefill once."""
+        repeated system prompt costs its prefill once.
+
+        lora: a models/lora adapter tree — every request picks an
+        adapter by Request.adapter (-1 = base); the engine keeps a
+        per-slot id vector and one dispatch serves a MIXED batch of
+        adapters (BGMV, models/lora.lora_delta)."""
         self.cfg = cfg
         self.batch = batch_slots
         if mesh is not None:
@@ -94,6 +140,8 @@ class ServingEngine:
         # greedy by default (exactly reproducible; the tests' contract)
         sampler = sample or make_sampler(temperature=0.0)
         self._key = jax.random.PRNGKey(0)
+        self.lora = lora
+        self.slot_adapter = np.full(batch_slots, -1, np.int32)
 
         cache_dtype = jnp.bfloat16
 
@@ -131,7 +179,7 @@ class ServingEngine:
 
         @functools.partial(jax.jit, static_argnames=("window",))
         def _decode(params, cache, tokens, pos, key, table=None,
-                    window=1):
+                    window=1, lora=None, lora_idx=None):
             # window > 1: W decode steps in ONE dispatch (lax.scan) — on
             # a remote-relay platform each dispatch costs ~24 ms of round
             # trip, so per-step dispatch caps e2e serving at ~40 steps/s
@@ -144,7 +192,8 @@ class ServingEngine:
                 key, sub = jax.random.split(key)
                 logits, cache = llama.decode_step(params, cfg, cache,
                                                   tok, pos, use_pallas,
-                                                  table=table)
+                                                  table=table, lora=lora,
+                                                  lora_idx=lora_idx)
                 nxt = sampler(logits[:, -1, :], sub)
                 return (cache, nxt[:, None], pos + 1, key), nxt
             (cache, _, _, _), toks = jax.lax.scan(
@@ -152,7 +201,8 @@ class ServingEngine:
             return toks, cache  # toks: (window, B)
 
         @functools.partial(jax.jit, static_argnames=())
-        def _prefill(params, cache, tokens, pos, write_mask, table=None):
+        def _prefill(params, cache, tokens, pos, write_mask, table=None,
+                     lora=None, lora_idx=None):
             # prefill_self: the admitted slot is at pos 0, so attention
             # is causal self-attention over the prompt (flash-routable) —
             # the eager cached path would cost (B, P, max_seq) scores.
@@ -160,12 +210,13 @@ class ServingEngine:
                                               pos, use_pallas,
                                               write_mask=write_mask,
                                               prefill_self=True,
-                                              table=table)
+                                              table=table, lora=lora,
+                                              lora_idx=lora_idx)
             return logits, cache
 
         @functools.partial(jax.jit, static_argnames=())
         def _prefill_at(params, cache, tokens, pos, write_mask,
-                        table=None):
+                        table=None, lora=None, lora_idx=None):
             # SUFFIX prefill (prefix-cache hits): the slot already holds
             # cached K/V for positions < pos, so attention goes through
             # the generic cached path — each suffix query attends the
@@ -174,7 +225,8 @@ class ServingEngine:
                                               pos, use_pallas,
                                               write_mask=write_mask,
                                               prefill_self=False,
-                                              table=table)
+                                              table=table, lora=lora,
+                                              lora_idx=lora_idx)
             return logits, cache
 
         @jax.jit
@@ -203,14 +255,26 @@ class ServingEngine:
     def _pages_for(self, n_tokens: int) -> int:
         return -(-n_tokens // self.page)
 
-    def _chunk_key(self, full: list[int], c: int) -> bytes:
+    def _lora_idx(self):
+        """Per-slot adapter id vector for the next dispatch (None when
+        the engine has no adapters loaded — keeps the no-LoRA jit
+        signature unchanged)."""
+        return (None if self.lora is None
+                else jnp.asarray(self.slot_adapter))
+
+    def _chunk_key(self, full: list[int], c: int,
+                   adapter: int = -1) -> bytes:
         """Content address of page c of a prompt: hash of the WHOLE
         token prefix through that page (chain semantics — a page is
         only reusable when everything before it matches too, since its
-        K/V attend nothing but absolute positions and token ids)."""
+        K/V attend nothing but absolute positions and token ids). The
+        LoRA adapter id is part of the key: adapted wk/wv produce
+        different K/V for the same tokens."""
         import hashlib
-        return hashlib.sha1(np.asarray(
-            full[:(c + 1) * self.page], np.int32).tobytes()).digest()
+        return hashlib.sha1(
+            adapter.to_bytes(8, "little", signed=True)
+            + np.asarray(full[:(c + 1) * self.page],
+                         np.int32).tobytes()).digest()
 
     def _alloc_page(self) -> int | None:
         """A free page, else (prefix cache) evict the least-recently
@@ -278,6 +342,7 @@ class ServingEngine:
         self.slot_req[v] = None
         self.slot_pos[v] = 0
         self.slot_tok[v] = 0
+        self.slot_adapter[v] = -1
         queue.insert(0, req)
         return True
 
@@ -325,8 +390,8 @@ class ServingEngine:
                     # match); cap so at least one suffix token remains
                     # to prefill — the model must emit logits to sample
                     for c in range((len(full) - 1) // self.page):
-                        p = self._prefix_index.get(
-                            self._chunk_key(full, c))
+                        p = self._prefix_index.get(self._chunk_key(
+                            full, c, queue[0].adapter))
                         if p is None:
                             break
                         self.table_np[s, c] = p
@@ -346,6 +411,7 @@ class ServingEngine:
                         break
                 req = queue.pop(0)
                 self.slot_req[s] = req
+                self.slot_adapter[s] = req.adapter
                 if self.paged:
                     self._seq += 1
                     self.slot_seq[s] = self._seq
@@ -378,11 +444,11 @@ class ServingEngine:
                 pos[s] = 0
                 write_mask[s] = True
             prefill_args = (self.params, self.cache, jnp.asarray(tokens),
-                            jnp.asarray(pos), jnp.asarray(write_mask))
-            if self.paged:
-                logits, self.cache = self._prefill(*prefill_args, table)
-            else:
-                logits, self.cache = self._prefill(*prefill_args)
+                            jnp.asarray(pos), jnp.asarray(write_mask),
+                            table if self.paged else None)
+            logits, self.cache = self._prefill(
+                *prefill_args, lora=self.lora,
+                lora_idx=self._lora_idx())
             for s, req in fresh:
                 logits_of[s] = (logits,
                                 len(req.prompt) + len(req.out) - 1)
@@ -403,7 +469,8 @@ class ServingEngine:
                 write_mask[s] = True
             logits, self.cache = self._prefill_at(
                 self.params, self.cache, jnp.asarray(tokens),
-                jnp.asarray(pos), jnp.asarray(write_mask), table)
+                jnp.asarray(pos), jnp.asarray(write_mask), table,
+                lora=self.lora, lora_idx=self._lora_idx())
             for s, req, pfx in hits:
                 logits_of[s] = (logits,
                                 len(req.prompt) + len(req.out) - pfx - 1)
@@ -417,7 +484,7 @@ class ServingEngine:
                     p = int(self.table_np[s, c])
                     if p == 0:
                         break
-                    key = self._chunk_key(full, c)
+                    key = self._chunk_key(full, c, req.adapter)
                     if key not in self._prefix_index:
                         self._prefix_index[key] = p
                         self._page_key[p] = key
@@ -446,6 +513,7 @@ class ServingEngine:
                 self.slot_req[s] = None
                 self.slot_pos[s] = 0
                 self.slot_tok[s] = 0
+                self.slot_adapter[s] = -1
 
     # -------------------------------------------------------------- run
     def run(self, requests: list[Request], eos_id: int | None = None,
@@ -496,14 +564,10 @@ class ServingEngine:
             tokens = jnp.asarray(self.slot_tok.reshape(-1, 1))
             pos = jnp.asarray(self.slot_pos)
             self._key, sub = jax.random.split(self._key)
-            if self.paged:
-                toks, self.cache = self._decode(
-                    self.params, self.cache, tokens, pos, sub,
-                    jnp.asarray(self.table_np), window=w)
-            else:
-                toks, self.cache = self._decode(self.params, self.cache,
-                                                tokens, pos, sub,
-                                                window=w)
+            toks, self.cache = self._decode(
+                self.params, self.cache, tokens, pos, sub,
+                jnp.asarray(self.table_np) if self.paged else None,
+                window=w, lora=self.lora, lora_idx=self._lora_idx())
             toks = np.asarray(toks)                    # (w, B)
             for s in range(self.batch):
                 req = self.slot_req[s]
@@ -522,6 +586,7 @@ class ServingEngine:
                         self.slot_req[s] = None
                         self.slot_pos[s] = 0
                         self.slot_tok[s] = 0
+                        self.slot_adapter[s] = -1
                         break
                     self.slot_tok[s] = tok
             self._admit(queue)

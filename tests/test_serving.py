@@ -76,6 +76,43 @@ def test_sampling_engine(params):
     assert all(0 <= t < CFG.vocab for t in out_h)
 
 
+def test_sampler_top_p_and_min_p():
+    """Nucleus keeps exactly the smallest prefix reaching p; min_p
+    drops everything below the fraction of the max-prob token."""
+    from how_to_optimize_gemm_tpu.parallel.serving import make_sampler
+
+    # probs ~ [0.6, 0.25, 0.1, 0.05] after softmax of these logits
+    logits = jnp.log(jnp.asarray([[0.6, 0.25, 0.1, 0.05]]))
+    draws = set()
+    for i in range(64):
+        t = int(make_sampler(temperature=1.0, top_p=0.7)(
+            logits, jax.random.PRNGKey(i))[0])
+        draws.add(t)
+    # 0.6 < 0.7 so token 1 is the crossing token; {0,1} kept, 2/3 cut
+    assert draws <= {0, 1} and draws == {0, 1}
+
+    draws = set()
+    for i in range(64):
+        t = int(make_sampler(temperature=1.0, min_p=0.3)(
+            logits, jax.random.PRNGKey(i))[0])
+        draws.add(t)
+    # min_p=0.3: keep probs >= 0.18 -> tokens 0 and 1 only
+    assert draws == {0, 1}
+
+
+def test_repetition_penalty():
+    from how_to_optimize_gemm_tpu.parallel.serving import (
+        repetition_penalty)
+
+    logits = jnp.asarray([[2.0, -1.0, 0.5, 3.0]])
+    recent = jnp.asarray([[0, 1, -1, -1]], jnp.int32)   # -1 = pad
+    out = np.asarray(repetition_penalty(logits, recent, 2.0))[0]
+    assert out[0] == pytest.approx(1.0)     # positive: divided
+    assert out[1] == pytest.approx(-2.0)    # negative: multiplied
+    assert out[2] == pytest.approx(0.5)     # untouched
+    assert out[3] == pytest.approx(3.0)     # untouched (pad ignored)
+
+
 def test_engine_kv8_cache(params):
     """The int8 (KV8) cache engine serves correctly — outputs stay close
     to the bf16-cache engine (quantization noise can flip late greedy
