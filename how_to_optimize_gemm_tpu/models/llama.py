@@ -618,7 +618,8 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
 def forward(params, cfg: LlamaConfig, tokens: jnp.ndarray,
             use_pallas: bool | None = None,
             remat: bool = False, flash_train: bool = False,
-            return_moe_aux: bool = False):
+            return_moe_aux: bool = False,
+            lora=None, lora_idx: jnp.ndarray | None = None):
     """Full-sequence forward (training / prefill): (B, S) -> (B, S, vocab).
 
     remat=True wraps each block in ``jax.checkpoint``: activations are
@@ -627,24 +628,31 @@ def forward(params, cfg: LlamaConfig, tokens: jnp.ndarray,
     HBM-bound training (the "rematerialisation" capability slot).
     return_moe_aux=True additionally returns the mean per-layer GShard
     load-balance loss (0 for dense-MLP configs) — loss_fn adds it with
-    cfg.moe_aux_weight so MoE routers train against collapse."""
+    cfg.moe_aux_weight so MoE routers train against collapse.
+    lora + lora_idx (B,): per-row low-rank deltas on every adapted
+    linear (models/lora) — the LoRA TRAINING path (gradients flow into
+    the gathered adapter slices; the base can be frozen/quantized)."""
     b, s = tokens.shape
     x = params["embed"][tokens]
     pos = jnp.arange(s)
     cos, sin = _rope_freqs(cfg, pos)
     mask = jnp.tril(jnp.ones((s, s), bool))
+    if lora is not None and lora_idx is None:
+        lora_idx = jnp.zeros((b,), jnp.int32)
 
-    def block(layer, x):
+    def block(layer, blk_lora, x):
         out, _, aux = _block(layer, cfg, x, cos, sin, mask=mask,
                              use_pallas=use_pallas,
-                             flash_train=flash_train)
+                             flash_train=flash_train, lora=blk_lora)
         return out, aux
 
     if remat:
         block = jax.checkpoint(block)
     aux_total = jnp.float32(0.0)
-    for layer in params["layers"]:
-        x, aux = block(layer, x)
+    for li, layer in enumerate(params["layers"]):
+        blk_lora = None if lora is None else (
+            lora["layers"][li], lora_idx, lora["scale"])
+        x, aux = block(layer, blk_lora, x)
         aux_total = aux_total + aux
     x = rmsnorm(x, params["out_norm"], cfg.norm_eps)
     logits = apply_linear(params["lm_head"], x, use_pallas)

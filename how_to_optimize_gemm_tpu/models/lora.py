@@ -73,6 +73,44 @@ def lora_delta(entry, x, idx, scale):
     return scale * live * delta
 
 
+def make_lora_train_step(cfg, optimizer, adapter: int = 0,
+                         remat: bool = False):
+    """LoRA finetuning: returns step(params, lora, opt_state, tokens)
+    -> (lora, opt_state, loss), jit-compiled.
+
+    Only ``lora["layers"]`` is differentiated — the base params never
+    appear in the grad tree, so they are frozen by construction (and
+    may be QUANTIZED: int8/int4 bases work unchanged, because the
+    delta is additive AFTER apply_linear — QLoRA on the dense model,
+    the serving-side counterpart of the MoE ragged-path QLoRA in
+    parallel/training). Gradients reach only adapter ``adapter``'s
+    slices: the BGMV gather's VJP is a scatter-add onto the selected
+    slot, so co-resident adapters are untouched (tested).
+    ``scale`` (alpha/rank) is a fixed hyperparameter, not trained."""
+    import optax
+
+    from how_to_optimize_gemm_tpu.models import llama
+
+    def step(params, lora, opt_state, tokens):
+        idx = jnp.full((tokens.shape[0],), adapter, jnp.int32)
+
+        def loss_of(layers):
+            tree = {"layers": layers, "scale": lora["scale"]}
+            logits = llama.forward(params, cfg, tokens[:, :-1],
+                                   use_pallas=False, remat=remat,
+                                   lora=tree, lora_idx=idx)
+            return llama.token_nll(logits, tokens[:, 1:])
+
+        loss, grads = jax.value_and_grad(loss_of)(lora["layers"])
+        updates, opt_state = optimizer.update(grads, opt_state,
+                                              lora["layers"])
+        layers = optax.apply_updates(lora["layers"], updates)
+        return ({"layers": layers, "scale": lora["scale"]}, opt_state,
+                loss)
+
+    return jax.jit(step)
+
+
 def set_adapter(lora, i: int, layers_ab):
     """Write adapter slot i from a per-layer list of {target: (A, B)}
     (single-adapter shapes (d_in, r)/(r, d_out)) — the loading path for

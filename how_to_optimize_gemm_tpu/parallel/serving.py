@@ -39,39 +39,50 @@ class Request:
     t_done: float = 0.0
 
 
+def filter_logits(logits, temperature: float = 1.0, top_k: int = 0,
+                  top_p: float = 0.0, min_p: float = 0.0):
+    """Temperature + composable support filters on (…, V) fp32 logits.
+
+    top_k > 0 restricts to the k largest logits; top_p in (0, 1)
+    applies nucleus filtering (smallest set of tokens whose probability
+    mass reaches p); min_p in (0, 1) drops tokens whose probability is
+    below min_p x the top token's. Filters compose (k, then p, then
+    min_p) — all static-shape sorts/scans, jit-friendly. Shared by the
+    engine sampler and speculative sampling (both sides of the
+    draft/target accept test must see the SAME adjusted
+    distributions)."""
+    scaled = logits.astype(jnp.float32) / temperature
+    if top_k:
+        vals = jax.lax.top_k(scaled, top_k)[0]
+        scaled = jnp.where(scaled >= vals[..., -1:], scaled, -1e30)
+    if 0.0 < top_p < 1.0:
+        # nucleus: sort descending, keep the prefix whose cumulative
+        # softmax mass is < p PLUS the first token crossing p
+        srt = jnp.sort(scaled, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(srt, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = cum - probs < top_p        # mass BEFORE this token
+        # threshold = smallest kept logit
+        thresh = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
+                         keepdims=True)
+        scaled = jnp.where(scaled >= thresh, scaled, -1e30)
+    if 0.0 < min_p < 1.0:
+        probs = jax.nn.softmax(scaled, axis=-1)
+        pmax = jnp.max(probs, axis=-1, keepdims=True)
+        scaled = jnp.where(probs >= min_p * pmax, scaled, -1e30)
+    return scaled
+
+
 def make_sampler(temperature: float = 1.0, top_k: int = 0,
                  top_p: float = 0.0, min_p: float = 0.0):
     """Device-side sampler: logits (B, V) + key -> (B,) int32 tokens.
-
-    temperature <= 0 means greedy; top_k > 0 restricts to the k largest
-    logits; top_p in (0, 1) applies nucleus sampling (smallest set of
-    tokens whose probability mass reaches p); min_p in (0, 1) drops
-    tokens whose probability is below min_p x the top token's. Filters
-    compose (k, then p, then min_p) — all are static-shape sorts/scans,
-    jit-friendly."""
+    temperature <= 0 means greedy; see filter_logits for the filter
+    semantics."""
     def sample(logits, key):
         logits = logits.astype(jnp.float32)
         if temperature <= 0:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        scaled = logits / temperature
-        if top_k:
-            vals = jax.lax.top_k(scaled, top_k)[0]
-            scaled = jnp.where(scaled >= vals[..., -1:], scaled, -1e30)
-        if 0.0 < top_p < 1.0:
-            # nucleus: sort descending, keep the prefix whose cumulative
-            # softmax mass is < p PLUS the first token crossing p
-            srt = jnp.sort(scaled, axis=-1)[..., ::-1]
-            probs = jax.nn.softmax(srt, axis=-1)
-            cum = jnp.cumsum(probs, axis=-1)
-            keep = cum - probs < top_p        # mass BEFORE this token
-            # threshold = smallest kept logit
-            thresh = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
-                             keepdims=True)
-            scaled = jnp.where(scaled >= thresh, scaled, -1e30)
-        if 0.0 < min_p < 1.0:
-            probs = jax.nn.softmax(scaled, axis=-1)
-            pmax = jnp.max(probs, axis=-1, keepdims=True)
-            scaled = jnp.where(probs >= min_p * pmax, scaled, -1e30)
+        scaled = filter_logits(logits, temperature, top_k, top_p, min_p)
         return jax.random.categorical(key, scaled, axis=-1).astype(
             jnp.int32)
     return sample

@@ -4,10 +4,19 @@ Decode is weight-streaming-bound (RESULTS.md: every 7B decode number
 sits on the weight roofline), so a small draft model can run gamma
 cheap steps and the big target can check all of them in ONE forward:
 the target's per-token cost is amortized over up to gamma+1 emitted
-tokens. This module implements the GREEDY variant, whose defining
-property is exact equivalence — the emitted stream equals target-only
-greedy decoding REGARDLESS of draft quality (a bad draft only costs
-speed, never correctness; asserted in tests/test_speculative.py).
+tokens. Two variants share the machinery:
+
+- GREEDY (speculative_decode): the emitted stream equals target-only
+  greedy decoding EXACTLY regardless of draft quality (a bad draft
+  only costs speed, never correctness).
+- SAMPLED (speculative_sample): Leviathan-style rejection sampling —
+  accept draft token x with prob min(1, p(x)/q(x)), resample the first
+  rejection from norm(max(p-q, 0)), bonus-draw on full acceptance. The
+  emitted stream is distributed exactly as target-only ancestral
+  sampling at the same (temperature, top_k, top_p); the round math is
+  pure host numpy (reject_round) and is unit-tested distributionally.
+
+Both are asserted in tests/test_speculative.py.
 
 TPU-first shape discipline: the whole loop compiles to THREE jitted
 step shapes — the target verify is always (1, gamma+1), the draft
@@ -142,6 +151,157 @@ def speculative_decode(cfg_t, params_t, cfg_d, params_d, prompt,
         # a < gamma, one behind when all gamma were accepted.
         n += a + 1
         pending = int(greedy[a])
+        d_feed = ([drafts[-1], pending] if a == gamma else [pending])
+    return out[:n_new], stats
+
+
+def _round_probs(logits, temperature, top_k, top_p):
+    """Filtered softmax rows on device -> host float64 (…, V)."""
+    from how_to_optimize_gemm_tpu.parallel.serving import filter_logits
+    f = filter_logits(logits, temperature, top_k, top_p)
+    return np.asarray(jax.nn.softmax(f, axis=-1), np.float64)
+
+
+def draw_token(prob_row, key, pos: int) -> int:
+    """Position-keyed categorical draw from a host probability row.
+
+    The key discipline is the sampled-speculative correctness contract:
+    a token at absolute sequence position ``pos`` is ALWAYS drawn with
+    fold_in(key, pos), whoever draws it — so when draft == target every
+    proposal is accepted (p/q == 1) and the emitted stream is
+    bit-identical to target-only ancestral sampling (tested)."""
+    k = jax.random.fold_in(key, pos)
+    logp = jnp.log(jnp.asarray(prob_row, jnp.float32) + 1e-38)
+    return int(jax.random.categorical(k, logp))
+
+
+def _accept_u(key, pos: int) -> float:
+    """The accept-test uniform for position pos — a distinct stream
+    from the token draws (fold_in twice)."""
+    return float(jax.random.uniform(
+        jax.random.fold_in(jax.random.fold_in(key, pos), 1)))
+
+
+def reject_round(q_rows, xs, p_rows, key, base_pos: int):
+    """One verify round of Leviathan-style rejection sampling, pure
+    host math (unit-tested distributionally without a model).
+
+    q_rows (gamma, V): draft probs for positions base_pos..+gamma-1;
+    xs: the draft's sampled tokens; p_rows (gamma+1, V): target probs
+    for positions base_pos..+gamma. Accept x_i while
+    u_i < p_i(x_i)/q_i(x_i); at the first rejection emit a residual
+    draw from norm(max(p_i - q_i, 0)); if all accepted emit a bonus
+    draw from p_gamma. Emitted tokens are distributed EXACTLY as
+    target-only ancestral sampling (the speculative-sampling theorem).
+    Returns (emitted, accepted_count)."""
+    gamma = len(xs)
+    for i in range(gamma):
+        pos = base_pos + i
+        px, qx = p_rows[i][xs[i]], q_rows[i][xs[i]]
+        if _accept_u(key, pos) < min(1.0, px / max(qx, 1e-38)):
+            continue
+        resid = np.maximum(p_rows[i] - q_rows[i], 0.0)
+        tot = resid.sum()
+        if tot <= 0.0:       # p == q: residual empty, accept the draft
+            continue
+        # the residual draw MUST be independent of the draft's draw at
+        # this position (same-key categorical draws are correlated,
+        # which biases the emitted marginal — measured 8.7 sigma on the
+        # unit test): fold a distinct stream id before the position key
+        return list(xs[:i]) + [draw_token(
+            resid / tot, jax.random.fold_in(key, 2), pos)], i
+    bonus = draw_token(p_rows[gamma], key, base_pos + gamma)
+    return list(xs) + [bonus], gamma
+
+
+def ancestral_sample(cfg, params, prompt, n_new: int, key=None,
+                     temperature: float = 1.0, top_k: int = 0,
+                     top_p: float = 0.0,
+                     use_pallas: bool | None = None) -> list[int]:
+    """Target-only positional-keyed sampling — the distributional
+    oracle for speculative_sample (and bit-exact when draft == target,
+    see draw_token)."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    prompt = np.asarray(prompt, np.int32)
+    logits, cache = _prefill(cfg, params, prompt, use_pallas)
+    out = []
+    pos = len(prompt)
+    for _ in range(n_new):
+        p = _round_probs(logits[0], temperature, top_k, top_p)
+        nxt = draw_token(p, key, pos)
+        out.append(nxt)
+        step, cache = llama.decode_step(
+            params, cfg, cache, jnp.asarray([[nxt]]), jnp.int32(pos),
+            use_pallas=use_pallas)
+        logits = step[:, -1]
+        pos += 1
+    return out
+
+
+def speculative_sample(cfg_t, params_t, cfg_d, params_d, prompt,
+                       n_new: int, gamma: int = 4, key=None,
+                       temperature: float = 1.0, top_k: int = 0,
+                       top_p: float = 0.0,
+                       use_pallas: bool | None = None
+                       ) -> tuple[list[int], SpecStats]:
+    """SAMPLED speculative decoding (rejection sampling): the emitted
+    stream is distributed exactly as target-only ancestral sampling at
+    the same (temperature, top_k, top_p) — draft quality changes speed
+    (accept rate), never the distribution. Same three static step
+    shapes and cache bookkeeping as the greedy variant; both sides'
+    logits go through the SAME filter_logits adjustment before the
+    accept test (serving.filter_logits)."""
+    assert cfg_t.vocab == cfg_d.vocab, "draft must share the vocab"
+    key = jax.random.PRNGKey(0) if key is None else key
+    prompt = np.asarray(prompt, np.int32)
+    stats = SpecStats()
+
+    t_logits, t_cache = _prefill(cfg_t, params_t, prompt, use_pallas)
+    _, d_cache = _prefill(cfg_d, params_d, prompt, use_pallas)
+    stats.target_calls += 1
+    stats.draft_calls += 1
+
+    n = len(prompt)
+    p0 = _round_probs(t_logits[0], temperature, top_k, top_p)
+    pending = draw_token(p0, key, n)            # seq[n], not yet cached
+    out: list[int] = [pending]
+    stats.tokens += 1
+    d_feed = [pending]
+    while len(out) < n_new and n + gamma + 1 < cfg_t.max_seq:
+        # -- draft: catch up, then gamma - 1 more sampled steps
+        drafts, q_rows = [], []
+        feed = jnp.asarray([d_feed], jnp.int32)
+        logits, d_cache = llama.decode_step(
+            params_d, cfg_d, d_cache, feed,
+            jnp.int32(n + 1 - len(d_feed)), use_pallas=use_pallas)
+        stats.draft_calls += 1
+        q = _round_probs(logits[0, -1], temperature, top_k, top_p)
+        q_rows.append(q)
+        drafts.append(draw_token(q, key, n + 1))
+        for j in range(1, gamma):
+            logits, d_cache = llama.decode_step(
+                params_d, cfg_d, d_cache,
+                jnp.asarray([[drafts[-1]]]), jnp.int32(n + j),
+                use_pallas=use_pallas)
+            stats.draft_calls += 1
+            q = _round_probs(logits[0, -1], temperature, top_k, top_p)
+            q_rows.append(q)
+            drafts.append(draw_token(q, key, n + 1 + j))
+
+        # -- target: verify the whole chain in one forward
+        chain = jnp.asarray([[pending] + drafts], jnp.int32)
+        v_logits, t_cache = llama.decode_step(
+            params_t, cfg_t, t_cache, chain, jnp.int32(n),
+            use_pallas=use_pallas)
+        stats.target_calls += 1
+        p_rows = _round_probs(v_logits[0], temperature, top_k, top_p)
+
+        emitted, a = reject_round(q_rows, drafts, p_rows, key, n + 1)
+        stats.accepted += a
+        out.extend(emitted)
+        stats.tokens += len(emitted)
+        n += a + 1
+        pending = emitted[-1]
         d_feed = ([drafts[-1], pending] if a == gamma else [pending])
     return out[:n_new], stats
 

