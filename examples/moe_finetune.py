@@ -15,6 +15,11 @@ Run hermetically:
 """
 from __future__ import annotations
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import argparse
 import itertools
 
