@@ -1,17 +1,27 @@
 // Native paged-KV allocator + prefix-cache index — C++ runtime tier of
-// the serving engine (parallel/serving.py).
+// the serving engine's memory manager (parallel/kv_alloc.py defines the
+// Python reference backend and the shared surface; parallel/serving.py
+// selects a backend with alloc_backend="py"|"native").
 //
 // The reference keeps its entire runtime (harness, timing, memory) in
 // C++ (aarch64/test_MMult.cpp:24-144); this is the framework's native
 // equivalent for the serving runtime's memory manager: the block-table
 // page pool, refcounted prefix sharing, LRU retirement of finished
-// prefixes, and recompute-preemption bookkeeping. Semantics mirror the
-// Python allocator (parallel/kv_alloc.py PagedAllocatorPy) exactly —
-// a randomized parity test drives both through identical op sequences
-// (tests/test_kv_alloc.py).
+// prefixes, and recompute-preemption bookkeeping. Semantics mirror
+// PagedAllocatorPy exactly — a randomized parity test drives both
+// backends through identical op sequences and asserts identical
+// tables, stats, and hit/miss behavior (tests/test_kv_alloc.py).
+//
+// Prefix-cache keys are the SAME rolling sha1 chain as the Python side
+// (key_c = sha1(key_{c-1} || page tokens), seeded with sha1(adapter)):
+// collision-resistant — a crafted non-cryptographic-hash collision
+// would attach another request's cached KV pages (cross-request KV
+// leakage) — and byte-identical across backends, so parity holds at
+// the key level, not just behaviorally.
 //
 // Loaded via ctypes (utils/native.py pattern); C ABI, no pybind11.
 
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <map>
@@ -22,37 +32,88 @@ namespace {
 
 using std::int32_t;
 using std::int64_t;
+using std::size_t;
+using std::uint32_t;
 using std::uint64_t;
 
-// 128-bit FNV-1a chain key over (adapter, token prefix). The Python
-// allocator uses sha1; keys never cross the language boundary, so only
-// hit/miss BEHAVIOR must match (collision-free in practice).
-struct Key {
-    uint64_t a, b;
-    bool operator<(const Key& o) const {
-        return a != o.a ? a < o.a : b < o.b;
+// ------------------------------------------------------------- SHA-1
+// Single-shot SHA-1 per FIPS 180-1 / RFC 3174 (matches hashlib.sha1).
+// Inputs here are tiny (20-byte chain key + one page of tokens), so a
+// one-buffer implementation is all that's needed.
+
+inline uint32_t rol(uint32_t x, int s) {
+    return (x << s) | (x >> (32 - s));
+}
+
+void sha1(const unsigned char* data, size_t len, unsigned char out[20]) {
+    uint32_t h[5] = {0x67452301u, 0xEFCDAB89u, 0x98BADCFEu,
+                     0x10325476u, 0xC3D2E1F0u};
+    // message + 0x80 + zero pad + 64-bit big-endian bit length
+    size_t total = ((len + 8) / 64 + 1) * 64;
+    std::vector<unsigned char> msg(total, 0);
+    std::memcpy(msg.data(), data, len);
+    msg[len] = 0x80;
+    uint64_t bits = static_cast<uint64_t>(len) * 8;
+    for (int i = 0; i < 8; ++i)
+        msg[total - 1 - i] = static_cast<unsigned char>(bits >> (8 * i));
+
+    for (size_t off = 0; off < total; off += 64) {
+        uint32_t w[80];
+        for (int t = 0; t < 16; ++t)
+            w[t] = (uint32_t(msg[off + 4 * t]) << 24) |
+                   (uint32_t(msg[off + 4 * t + 1]) << 16) |
+                   (uint32_t(msg[off + 4 * t + 2]) << 8) |
+                   uint32_t(msg[off + 4 * t + 3]);
+        for (int t = 16; t < 80; ++t)
+            w[t] = rol(w[t - 3] ^ w[t - 8] ^ w[t - 14] ^ w[t - 16], 1);
+        uint32_t a = h[0], b = h[1], c = h[2], d = h[3], e = h[4];
+        for (int t = 0; t < 80; ++t) {
+            uint32_t f, k;
+            if (t < 20)      { f = (b & c) | (~b & d);          k = 0x5A827999u; }
+            else if (t < 40) { f = b ^ c ^ d;                   k = 0x6ED9EBA1u; }
+            else if (t < 60) { f = (b & c) | (b & d) | (c & d); k = 0x8F1BBCDCu; }
+            else             { f = b ^ c ^ d;                   k = 0xCA62C1D6u; }
+            uint32_t tmp = rol(a, 5) + f + e + k + w[t];
+            e = d; d = c; c = rol(b, 30); b = a; a = tmp;
+        }
+        h[0] += a; h[1] += b; h[2] += c; h[3] += d; h[4] += e;
     }
-    bool operator==(const Key& o) const { return a == o.a && b == o.b; }
+    for (int i = 0; i < 5; ++i) {
+        out[4 * i] = static_cast<unsigned char>(h[i] >> 24);
+        out[4 * i + 1] = static_cast<unsigned char>(h[i] >> 16);
+        out[4 * i + 2] = static_cast<unsigned char>(h[i] >> 8);
+        out[4 * i + 3] = static_cast<unsigned char>(h[i]);
+    }
+}
+
+using Key = std::array<unsigned char, 20>;
+
+// Rolling chain-key iterator: seed = sha1(adapter as 8 LE bytes);
+// next(page_tokens) = sha1(prev || tokens) — identical bytes to
+// kv_alloc._chain_keys.
+struct ChainKeys {
+    Key prev;
+    explicit ChainKeys(int64_t adapter) {
+        unsigned char ad[8];
+        std::memcpy(ad, &adapter, 8);   // little-endian on all targets
+        sha1(ad, 8, prev.data());
+    }
+    const Key& next(const int32_t* page_tokens, int64_t n_tok) {
+        std::vector<unsigned char> buf(20 + n_tok * 4);
+        std::memcpy(buf.data(), prev.data(), 20);
+        std::memcpy(buf.data() + 20, page_tokens, n_tok * 4);
+        sha1(buf.data(), buf.size(), prev.data());
+        return prev;
+    }
 };
 
-inline uint64_t fnv1a(const unsigned char* p, int64_t n, uint64_t h) {
-    for (int64_t i = 0; i < n; ++i) {
-        h ^= p[i];
-        h *= 0x100000001B3ULL;
+struct KeyHash {
+    size_t operator()(const Key& k) const {
+        uint64_t v;
+        std::memcpy(&v, k.data(), 8);   // sha1 output is already uniform
+        return static_cast<size_t>(v);
     }
-    return h;
-}
-
-Key chunk_key(const int32_t* tokens, int64_t n_prefix, int64_t adapter) {
-    unsigned char ad[8];
-    std::memcpy(ad, &adapter, 8);
-    const unsigned char* tp =
-        reinterpret_cast<const unsigned char*>(tokens);
-    Key k;
-    k.a = fnv1a(tp, n_prefix * 4, fnv1a(ad, 8, 0xCBF29CE484222325ULL));
-    k.b = fnv1a(tp, n_prefix * 4, fnv1a(ad, 8, 0x84222325CBF29CE4ULL));
-    return k;
-}
+};
 
 struct Alloc {
     int64_t n_pages, page, batch, np_max;
@@ -61,7 +122,7 @@ struct Alloc {
     std::vector<std::vector<int64_t>> slot_pages;
     std::vector<int32_t> table;                  // (batch, np_max)
     std::vector<int64_t> refcount;
-    std::map<Key, int64_t> prefix_index;         // chain key -> page
+    std::unordered_map<Key, int64_t, KeyHash> prefix_index;  // key -> page
     std::unordered_map<int64_t, Key> page_key;   // page -> its key
     // refcount-0 registered pages, LRU by retire order (OrderedDict)
     std::map<int64_t, int64_t> lru;              // order -> page
@@ -77,6 +138,8 @@ struct Alloc {
         free_list.reserve(np - 1);
         for (int64_t p = 1; p < np; ++p) free_list.push_back(p);
     }
+
+    bool slot_ok(int64_t s) const { return s >= 0 && s < batch; }
 
     void lru_erase(int64_t p) {
         auto it = lru_pos.find(p);
@@ -114,7 +177,11 @@ struct Alloc {
     }
 
     bool grow(int64_t s, int64_t n_tokens) {
+        if (!slot_ok(s)) return false;
         int64_t need = (n_tokens + page - 1) / page;
+        // where the Python backend's table write would raise, fail the
+        // growth instead of silently writing past the row
+        if (need > np_max) return false;
         while (static_cast<int64_t>(slot_pages[s].size()) < need) {
             int64_t p = alloc_page();
             if (p < 0) return false;  // partial growth kept (caller may release)
@@ -126,6 +193,7 @@ struct Alloc {
     }
 
     void release(int64_t s) {
+        if (!slot_ok(s)) return;
         for (int64_t p : slot_pages[s]) {
             if (prefix_cache) {
                 if (--refcount[p] == 0) {
@@ -153,12 +221,14 @@ struct Alloc {
     // prompt, capped so >= 1 suffix token remains to prefill
     int64_t attach(int64_t s, const int32_t* tokens, int64_t n,
                    int64_t adapter) {
-        if (!prefix_cache) return 0;
+        if (!prefix_cache || !slot_ok(s)) return 0;
         int64_t got = 0;
         int64_t cap = (n - 1) / page;
+        if (cap > np_max) cap = np_max;   // table row bound
+        ChainKeys keys(adapter);
         for (int64_t c = 0; c < cap; ++c) {
-            auto it = prefix_index.find(
-                chunk_key(tokens, (c + 1) * page, adapter));
+            const Key& k = keys.next(tokens + c * page, page);
+            auto it = prefix_index.find(k);
             if (it == prefix_index.end()) break;
             int64_t p = it->second;
             table[s * np_max + c] = static_cast<int32_t>(p);
@@ -174,11 +244,14 @@ struct Alloc {
     // post-prefill registration of fully-covered pages
     void reg(int64_t s, const int32_t* tokens, int64_t n,
              int64_t adapter) {
-        if (!prefix_cache) return;
-        for (int64_t c = 0; c < n / page; ++c) {
+        if (!prefix_cache || !slot_ok(s)) return;
+        int64_t cap = n / page;
+        if (cap > np_max) cap = np_max;
+        ChainKeys keys(adapter);
+        for (int64_t c = 0; c < cap; ++c) {
+            const Key& k = keys.next(tokens + c * page, page);
             int64_t p = table[s * np_max + c];
             if (p == 0) break;
-            Key k = chunk_key(tokens, (c + 1) * page, adapter);
             if (!prefix_index.count(k)) {
                 prefix_index[k] = p;
                 page_key[p] = k;
@@ -234,8 +307,9 @@ int64_t pa_hit_tokens(void* h) {
 }
 
 int64_t pa_slot_npages(void* h, int64_t s) {
-    return static_cast<int64_t>(
-        static_cast<Alloc*>(h)->slot_pages[s].size());
+    Alloc* a = static_cast<Alloc*>(h);
+    if (!a->slot_ok(s)) return 0;
+    return static_cast<int64_t>(a->slot_pages[s].size());
 }
 
 }  // extern "C"

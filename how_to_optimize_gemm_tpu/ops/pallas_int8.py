@@ -256,6 +256,31 @@ def _kernel_bt(a_ref, bt_ref, sa_ref, sb_ref, c_ref, o_ref, acc_ref):
                     * sa_ref[:] * sb_ref[:] + c_ref[:])
 
 
+def _kernel_bt_1k(a_ref, bt_ref, sa_ref, sb_ref, c_ref, o_ref):
+    """Single-k-step variant of ``_kernel_bt`` with NO accumulator
+    scratch.
+
+    Every square sweep size runs rung 14 with full-K strips, i.e.
+    grid_k == 1 — the init/+=/flush protocol then round-trips each
+    (bm, bn) int32 tile through VMEM scratch for nothing; here the dot
+    feeds the dequant epilogue directly. Output identical bit-for-bit
+    (same op sequence, no reassociation).
+
+    MEASURED (round 3, interleaved 5-round A/B at p=3584/4096): a TIE
+    within 0.01% — fused 364.37/357.64 vs scratch 364.40/357.65 median
+    TOPS. The hypothesized 1-2% scratch round-trip cost (3*bm*bn*4
+    bytes at ~24 TB/s per tile) is already fully hidden by the
+    auto-pipeliner; the vendor's remaining ~1% edge at 3584 is NOT
+    scratch traffic. Kept anyway: one less VMEM buffer (bm*bn*4 bytes
+    of scoped scratch freed) at identical speed and exactness."""
+    acc = jax.lax.dot_general(
+        a_ref[:], bt_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    o_ref[:] = (acc.astype(jnp.float32)
+                * sa_ref[:] * sb_ref[:] + c_ref[:])
+
+
 def choose_blocks_bt(m: int, n: int, k: int) -> tuple[int, int, int]:
     """(bm, bn, bk) for rung 14: bn=512, full-K strips, and the TALLEST
     least-waste A strip whose double-buffered footprint stays under
@@ -279,17 +304,24 @@ def choose_blocks_bt(m: int, n: int, k: int) -> tuple[int, int, int]:
 
 
 @functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret",
-                                             "vmem_limit_mb"))
+                                             "vmem_limit_mb",
+                                             "fused_flush"))
 def mmult_q_bt(qa, sa, qbt, sb, c, *, bm: int | None = None,
                bn: int | None = None, bk: int | None = None,
                vmem_limit_mb: int | None = 48,
+               fused_flush: bool | None = None,
                interpret: bool | None = None):
     """C = dequant(QA @ QBT^T) + C; QBT is B packed transposed (N, K).
 
     The rung-14 entrypoint (see ``_kernel_bt``). C is aliased into the
     output: inside this jit XLA inserts a copy only if the caller's c
     has other uses; the harness chain (out feeds next c) runs
-    copy-free."""
+    copy-free.
+
+    fused_flush: when the chosen schedule has a single k step, route to
+    ``_kernel_bt_1k`` (no accumulator scratch — the dot feeds the
+    epilogue directly). None = auto (on whenever grid_k == 1); pass
+    False to force the scratch protocol for A/B measurement."""
     m, n = c.shape
     abm, abn, abk = choose_blocks_bt(m, n, qa.shape[1])
     bm, bn, bk = bm or abm, bn or abn, bk or abk
@@ -300,36 +332,68 @@ def mmult_q_bt(qa, sa, qbt, sb, c, *, bm: int | None = None,
     sb = bounds.pad_dim(sb, 1, bn)
     mp, kp = qa.shape
     np_ = qbt.shape[0]
-    out = pl.pallas_call(
-        _kernel_bt,
-        grid=(mp // bm, np_ // bn, kp // bk),
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, bk), lambda i, j, kk: (j, kk),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
-                               memory_space=pltpu.VMEM),
+    one_k = kp // bk == 1
+    use_1k = one_k if fused_flush is None else (fused_flush and one_k)
+    common = dict(
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
         input_output_aliases={4: 0},
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            **({"vmem_limit_bytes": vmem_limit_mb * 1024 * 1024}
-               if vmem_limit_mb else {}),
-        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * kp,
             bytes_accessed=mp * kp + kp * np_ + 2 * mp * np_ * 4,
             transcendentals=0,
         ),
         interpret=default_interpret(interpret),
-    )(qa, qbt, sa, sb, c)
+    )
+    vmem_kw = ({"vmem_limit_bytes": vmem_limit_mb * 1024 * 1024}
+               if vmem_limit_mb else {})
+    if use_1k:
+        out = pl.pallas_call(
+            _kernel_bt_1k,
+            grid=(mp // bm, np_ // bn),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, bk), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, 1), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                **vmem_kw,
+            ),
+            **common,
+        )(qa, qbt, sa, sb, c)
+    else:
+        out = pl.pallas_call(
+            _kernel_bt,
+            grid=(mp // bm, np_ // bn, kp // bk),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, bk), lambda i, j, kk: (j, kk),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel",
+                                     "arbitrary"),
+                **vmem_kw,
+            ),
+            **common,
+        )(qa, qbt, sa, sb, c)
     return bounds.crop(out, m, n)

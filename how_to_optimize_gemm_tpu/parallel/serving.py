@@ -117,7 +117,8 @@ class ServingEngine:
                  paged: bool = False, page: int | None = None,
                  cache_pages: int | None = None,
                  prefix_cache: bool = False,
-                 lora: dict | None = None):
+                 lora: dict | None = None,
+                 alloc_backend: str = "py"):
         """paged=True swaps the contiguous per-slot cache for a shared
         page pool + block table (ops/pallas_paged_attention): cache HBM
         tracks tokens that exist, not slots x max_seq. page = tokens per
@@ -138,7 +139,12 @@ class ServingEngine:
         lora: a models/lora adapter tree — every request picks an
         adapter by Request.adapter (-1 = base); the engine keeps a
         per-slot id vector and one dispatch serves a MIXED batch of
-        adapters (BGMV, models/lora.lora_delta)."""
+        adapters (BGMV, models/lora.lora_delta).
+
+        alloc_backend: "py" (default) or "native" — which paged-KV
+        allocator backend manages the page pool / prefix index
+        (parallel/kv_alloc.py; "native" is the C++ tier,
+        csrc/paged_alloc.cpp, parity-tested against "py")."""
         self.cfg = cfg
         self.batch = batch_slots
         if mesh is not None:
@@ -157,36 +163,30 @@ class ServingEngine:
         cache_dtype = jnp.bfloat16
 
         self.paged = paged
+        self.prefix_cache = prefix_cache
+        if prefix_cache:
+            assert paged, "prefix_cache requires paged=True"
         if paged:
             from how_to_optimize_gemm_tpu.ops.pallas_paged_attention \
                 import good_page_size
+            from how_to_optimize_gemm_tpu.parallel.kv_alloc import (
+                make_allocator)
             ps = page or good_page_size(cfg.n_kv_heads, cfg.d_head,
                                         1 if cache_kind == "int8" else 2)
             self.page = ps
             self.np_max = -(-cfg.max_seq // ps)          # ceil
             n_pages = cache_pages or (batch_slots * self.np_max + 1)
-            assert n_pages >= 2, "pool needs >= 1 real page + trash"
             self.n_pages = n_pages
-            # host-side allocator state: page 0 is the reserved trash
-            # page, never handed out
-            self._free = list(range(1, n_pages))
-            self.slot_pages: list[list[int]] = [[] for _ in
-                                                range(batch_slots)]
-            self.table_np = np.zeros((batch_slots, self.np_max),
-                                     np.int32)
+            # host-side allocator: page pool + block table + prefix
+            # index (parallel/kv_alloc.py; page 0 is the reserved trash
+            # page, never handed out)
+            self.alloc = make_allocator(alloc_backend, n_pages, ps,
+                                        batch_slots, self.np_max,
+                                        prefix_cache)
             # admission order per slot — the preemption victim policy
             # (newest admitted goes first, vLLM-style)
             self.slot_seq = np.zeros(batch_slots, np.int64)
             self._seq = 0
-        self.prefix_cache = prefix_cache
-        if prefix_cache:
-            assert paged, "prefix_cache requires paged=True"
-            from collections import OrderedDict
-            self._refcount = np.zeros(self.n_pages, np.int64)
-            self._prefix_index: dict[bytes, int] = {}   # chain key -> page
-            self._page_key: dict[int, bytes] = {}
-            self._cached = OrderedDict()  # refcount-0 registered pages, LRU
-            self.prefix_hit_tokens = 0    # stat: prefill tokens skipped
 
         @functools.partial(jax.jit, static_argnames=("window",))
         def _decode(params, cache, tokens, pos, key, table=None,
@@ -263,6 +263,9 @@ class ServingEngine:
         self._eos_id: int | None = None
 
     # ------------------------------------------------- paged-cache admin
+    # The pool/table/prefix-index state machine lives in
+    # parallel/kv_alloc.py (two backends, parity-tested); the engine
+    # keeps thin views for its own code and the tests' assertions.
     def _pages_for(self, n_tokens: int) -> int:
         return -(-n_tokens // self.page)
 
@@ -273,69 +276,36 @@ class ServingEngine:
         return (None if self.lora is None
                 else jnp.asarray(self.slot_adapter))
 
-    def _chunk_key(self, full: list[int], c: int,
-                   adapter: int = -1) -> bytes:
-        """Content address of page c of a prompt: hash of the WHOLE
-        token prefix through that page (chain semantics — a page is
-        only reusable when everything before it matches too, since its
-        K/V attend nothing but absolute positions and token ids). The
-        LoRA adapter id is part of the key: adapted wk/wv produce
-        different K/V for the same tokens."""
-        import hashlib
-        return hashlib.sha1(
-            adapter.to_bytes(8, "little", signed=True)
-            + np.asarray(full[:(c + 1) * self.page],
-                         np.int32).tobytes()).digest()
+    @property
+    def table_np(self) -> np.ndarray:
+        return self.alloc.table
 
-    def _alloc_page(self) -> int | None:
-        """A free page, else (prefix cache) evict the least-recently
-        retired cached-prefix page — cached content is a best-effort
-        optimization, never a reason to deny live capacity."""
-        if self._free:
-            return self._free.pop()
-        if self.prefix_cache and self._cached:
-            p, _ = self._cached.popitem(last=False)
-            key = self._page_key.pop(p)
-            if self._prefix_index.get(key) == p:
-                del self._prefix_index[key]
-            return p
-        return None
+    @property
+    def slot_pages(self) -> list[list[int]]:
+        return self.alloc.slot_pages
 
-    def _grow_slot(self, s: int, n_tokens: int) -> bool:
-        """Ensure slot s's table covers n_tokens; False if the pool is
-        dry (caller decides: defer admission or preempt)."""
-        need = self._pages_for(n_tokens)
-        while len(self.slot_pages[s]) < need:
-            p = self._alloc_page()
-            if p is None:
-                return False
-            if self.prefix_cache:
-                self._refcount[p] = 1
-            self.table_np[s, len(self.slot_pages[s])] = p
-            self.slot_pages[s].append(p)
-        return True
+    @property
+    def _free(self):
+        return (self.alloc._free if hasattr(self.alloc, "_free")
+                else range(self.alloc.free_pages))
+
+    @property
+    def _cached(self):
+        return (self.alloc._cached if hasattr(self.alloc, "_cached")
+                else range(self.alloc.cached_pages))
+
+    @property
+    def _refcount(self):
+        return self.alloc._refcount
+
+    @property
+    def prefix_hit_tokens(self) -> int:
+        """Stat: prefill tokens skipped via prefix-cache hits."""
+        return self.alloc.hit_tokens if self.paged else 0
 
     def _release_pages(self, s: int) -> None:
-        if not self.paged:
-            return
-        if self.prefix_cache:
-            for p in self.slot_pages[s]:
-                self._refcount[p] -= 1
-                if self._refcount[p] == 0:
-                    key = self._page_key.get(p)
-                    if (key is not None
-                            and self._prefix_index.get(key) == p):
-                        # registered prefix content: retire to the LRU
-                        # cache instead of freeing — a future identical
-                        # prompt reattaches it without prefill
-                        self._cached[p] = None
-                    else:
-                        self._page_key.pop(p, None)
-                        self._free.append(p)
-        else:
-            self._free.extend(self.slot_pages[s])
-        self.slot_pages[s] = []
-        self.table_np[s, :] = 0
+        if self.paged:
+            self.alloc.release(s)
 
     def _preempt_newest(self, protect: int, queue: list) -> bool:
         """Recompute preemption (the vLLM policy): evict the NEWEST
@@ -398,26 +368,17 @@ class ServingEngine:
                 if self.paged and self.prefix_cache:
                     # attach every cached full page of this prompt's
                     # prefix (chain-keyed, so content AND position
-                    # match); cap so at least one suffix token remains
-                    # to prefill — the model must emit logits to sample
-                    for c in range((len(full) - 1) // self.page):
-                        p = self._prefix_index.get(self._chunk_key(
-                            full, c, queue[0].adapter))
-                        if p is None:
-                            break
-                        self.table_np[s, c] = p
-                        self.slot_pages[s].append(p)
-                        self._refcount[p] += 1
-                        self._cached.pop(p, None)
-                        prefix += self.page
-                    self.prefix_hit_tokens += prefix
+                    # match); the allocator caps so at least one suffix
+                    # token remains to prefill — the model must emit
+                    # logits to sample
+                    prefix = self.alloc.attach(s, full, queue[0].adapter)
                 if self.paged:
                     # admission is page-gated (no preemption here — that
                     # would thrash); a request that can't fit STAYS
                     # queued until completions free pages. A PARTIAL
                     # grow must be rolled back — pages assigned to an
                     # unoccupied slot would leak
-                    if not self._grow_slot(s, len(full)):
+                    if not self.alloc.grow(s, len(full)):
                         self._release_pages(s)
                         break
                 req = queue.pop(0)
@@ -490,15 +451,8 @@ class ServingEngine:
             # never writes them: it starts past the last full page) —
             # BEFORE sampling, which may complete-and-release a slot
             for s, req, _ in admitted:
-                full = req.prompt + req.out
-                for c in range(len(full) // self.page):
-                    p = int(self.table_np[s, c])
-                    if p == 0:
-                        break
-                    key = self._chunk_key(full, c, req.adapter)
-                    if key not in self._prefix_index:
-                        self._prefix_index[key] = p
-                        self._page_key[p] = key
+                self.alloc.register(s, req.prompt + req.out,
+                                    req.adapter)
         import time as _time
         for s, req, _ in admitted:
             plen = len(req.prompt) + len(req.out)
@@ -559,7 +513,7 @@ class ServingEngine:
                 for s in range(self.batch):
                     if self.slot_req[s] is None:
                         continue
-                    while not self._grow_slot(
+                    while not self.alloc.grow(
                             s, int(self.slot_pos[s]) + w):
                         if not self._preempt_newest(s, queue):
                             raise RuntimeError(

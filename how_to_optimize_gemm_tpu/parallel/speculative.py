@@ -155,6 +155,125 @@ def speculative_decode(cfg_t, params_t, cfg_d, params_d, prompt,
     return out[:n_new], stats
 
 
+def speculative_decode_device(cfg_t, params_t, cfg_d, params_d, prompt,
+                              n_new: int, gamma: int = 4,
+                              rounds: int = 8,
+                              use_pallas: bool | None = None
+                              ) -> tuple[list[int], SpecStats]:
+    """Device-looped greedy speculative decoding: ``rounds`` whole
+    draft+verify rounds run in ONE dispatch.
+
+    ``speculative_decode`` is correctness-complete but host-orchestrated
+    — one dispatch per draft token plus one per verify, and on the
+    ~24 ms/dispatch relay that is a guaranteed end-to-end loss (round-2
+    verdict). This variant moves the loop onto the device, the same
+    windowed-decode trick as the serving engine (serving.py _decode):
+
+    - **Uniform catch-up feed.** The host variant needs a (1, 1) or
+      (1, 2) draft feed depending on last round's acceptance. Here the
+      draft ALWAYS re-feeds ``[prev, pending]`` at ``pos n-1``:
+      position n-1 holds a committed token whose K/V the recompute
+      rewrites bit-identically (deterministic forward), so the feed
+      shape is static and every round compiles to the same step.
+    - **Accept logic in jnp.** The accepted drafts equal the target's
+      greedy tokens by construction, so each round just emits
+      ``greedy[:a+1]`` where ``a`` is the first draft/greedy mismatch
+      — an argmin over a bool row, no host round trip.
+    - ``lax.scan`` chains ``rounds`` rounds; the host fetches one
+      (rounds, gamma+1) token block + one (rounds,) accept-count vector
+      per dispatch and reconstructs the stream.
+
+    Token stream is EXACTLY ``greedy_decode(target)`` (asserted in
+    tests). Per dispatch the target advances between ``rounds`` and
+    ``rounds * (gamma + 1)`` tokens; overshoot past ``n_new`` is
+    truncated, like the engine's windowed decode."""
+    assert cfg_t.vocab == cfg_d.vocab, "draft must share the vocab"
+    prompt = np.asarray(prompt, np.int32)
+    stats = SpecStats()
+
+    t_logits, t_cache = _prefill(cfg_t, params_t, prompt, use_pallas)
+    _, d_cache = _prefill(cfg_d, params_d, prompt, use_pallas)
+    stats.target_calls += 1
+    stats.draft_calls += 1
+
+    pending = int(jnp.argmax(t_logits[0]))
+    out: list[int] = [pending]
+    stats.tokens += 1
+    n = len(prompt)
+    prev = int(prompt[-1])        # committed token at position n-1
+
+    @jax.jit
+    def block(params_t, params_d, t_cache, d_cache, prev, pending, n):
+        def round_fn(carry, _):
+            t_cache, d_cache, prev, pending, n = carry
+            # draft catch-up: rewrite pos n-1 (idempotent) + write n
+            feed = jnp.stack([prev, pending])[None]
+            lg, d_cache = llama.decode_step(
+                params_d, cfg_d, d_cache, feed, n - 1,
+                use_pallas=use_pallas)
+            first = jnp.argmax(lg[0, -1]).astype(jnp.int32)
+
+            def dstep(c, _):
+                cache, tok, pos = c
+                lg, cache = llama.decode_step(
+                    params_d, cfg_d, cache, tok[None, None], pos,
+                    use_pallas=use_pallas)
+                nxt = jnp.argmax(lg[0, -1]).astype(jnp.int32)
+                return (cache, nxt, pos + 1), nxt
+
+            (d_cache, _, _), rest = jax.lax.scan(
+                dstep, (d_cache, first, n + 1), None, length=gamma - 1)
+            drafts = jnp.concatenate([first[None], rest])   # (gamma,)
+
+            chain = jnp.concatenate([jnp.asarray([pending]), drafts]
+                                    )[None]                 # (1, gamma+1)
+            v_logits, t_cache = llama.decode_step(
+                params_t, cfg_t, t_cache, chain, n,
+                use_pallas=use_pallas)
+            greedy = jnp.argmax(v_logits[0], axis=-1).astype(jnp.int32)
+
+            # a = longest matching prefix; emitted = greedy[:a+1]
+            match = drafts == greedy[:gamma]
+            a = jnp.argmin(jnp.concatenate(
+                [match, jnp.zeros(1, bool)])).astype(jnp.int32)
+            prev_n = jnp.where(a > 0, greedy[jnp.maximum(a - 1, 0)],
+                               pending)
+            return ((t_cache, d_cache, prev_n, greedy[a], n + a + 1),
+                    (greedy, a))
+
+        (t_cache, d_cache, prev, pending, n), (toks, accepts) = \
+            jax.lax.scan(round_fn,
+                         (t_cache, d_cache, prev, pending, n),
+                         None, length=rounds)
+        return t_cache, d_cache, prev, pending, n, toks, accepts
+
+    prev = jnp.int32(prev)
+    pending_j = jnp.int32(pending)
+    n_j = jnp.int32(n)
+    # worst-case positions touched per dispatch: every round fully
+    # accepted, last round's draft writes through n + gamma
+    max_adv = rounds * (gamma + 1)
+    while len(out) < n_new and n + max_adv + gamma + 1 < cfg_t.max_seq:
+        t_cache, d_cache, prev, pending_j, n_j, toks, accepts = block(
+            params_t, params_d, t_cache, d_cache, prev, pending_j, n_j)
+        toks = np.asarray(toks)                  # (rounds, gamma+1)
+        accepts = np.asarray(accepts)            # (rounds,)
+        stats.target_calls += rounds
+        stats.draft_calls += rounds * gamma
+        for r in range(rounds):
+            a = int(accepts[r])
+            emitted = toks[r, :a + 1].tolist()
+            stats.accepted += a
+            out.extend(emitted)
+            stats.tokens += len(emitted)
+        n = int(n_j)
+    # tail: the strict max_seq guard above may leave a few tokens; the
+    # host-orchestrated variant shares caches/bookkeeping semantics but
+    # NOT cache objects, so just truncate (measurement protocol serves
+    # round numbers well inside max_seq)
+    return out[:n_new], stats
+
+
 def _round_probs(logits, temperature, top_k, top_p):
     """Filtered softmax rows on device -> host float64 (…, V)."""
     from how_to_optimize_gemm_tpu.parallel.serving import filter_logits
@@ -306,39 +425,118 @@ def speculative_sample(cfg_t, params_t, cfg_d, params_d, prompt,
     return out[:n_new], stats
 
 
+def windowed_greedy_decode(cfg, params, prompt, n_new: int,
+                           window: int = 8,
+                           use_pallas: bool | None = None) -> list[int]:
+    """Target-only greedy decode with ``window`` steps per dispatch —
+    the plain-decode side of the speculative tokens/s A/B, using the
+    serving engine's own relay economics (serving.py _decode)."""
+    prompt = np.asarray(prompt, np.int32)
+    logits, cache = _prefill(cfg, params, prompt, use_pallas)
+
+    @jax.jit
+    def block(params, cache, tok, pos):
+        def step(carry, _):
+            cache, tok, pos = carry
+            lg, cache = llama.decode_step(params, cfg, cache,
+                                          tok[None, None], pos,
+                                          use_pallas=use_pallas)
+            nxt = jnp.argmax(lg[0, -1]).astype(jnp.int32)
+            return (cache, nxt, pos + 1), nxt
+        (cache, tok, pos), toks = jax.lax.scan(
+            step, (cache, tok, pos), None, length=window)
+        return cache, tok, pos, toks
+
+    out = [int(jnp.argmax(logits[0]))]
+    tok = jnp.int32(out[0])
+    pos = jnp.int32(len(prompt))
+    while len(out) < n_new and int(pos) + window < cfg.max_seq:
+        cache, tok, pos, toks = block(params, cache, tok, pos)
+        out.extend(np.asarray(toks).tolist())
+    return out[:n_new]
+
+
+def truncated_draft(cfg_t, params_t, n_layers: int):
+    """An early-exit draft: the target's first ``n_layers`` layers with
+    the shared embedding/head — the zero-training stand-in for a
+    distilled draft (accept rate is measured, not assumed)."""
+    import dataclasses as dc
+    cfg_d = dc.replace(cfg_t, n_layers=n_layers)
+    params_d = dict(params_t)
+    params_d["layers"] = params_t["layers"][:n_layers]
+    return cfg_d, params_d
+
+
 def main(argv=None):
-    """Tiny CLI A/B: speculative vs plain greedy on random-init models
-    (tokens/target-call is the architecture-level win; real-checkpoint
-    accept rates need a trained draft)."""
+    """Measured CLI A/B: end-to-end tokens/s of device-looped
+    speculative decoding vs plain windowed greedy decode, same model,
+    same relay, wall-clock after a compile warmup — the number the
+    round-2 verdict asked for (a win or an honest negative, never an
+    unmeasured optimization)."""
     import argparse
     import dataclasses as dc
+    import time
+
     ap = argparse.ArgumentParser(description=main.__doc__)
-    ap.add_argument("--gamma", type=int, default=4)
-    ap.add_argument("--n-new", type=int, default=64)
-    ap.add_argument("--d-model", type=int, default=2048)
-    ap.add_argument("--n-layers", type=int, default=22)
-    ap.add_argument("--draft-layers", type=int, default=4)
-    ap.add_argument("--weight-kind", default="int8")
+    ap.add_argument("--gammas", type=int, nargs="+", default=[2, 4, 8])
+    ap.add_argument("--rounds", type=int, default=8)
+    ap.add_argument("--n-new", type=int, default=256)
+    ap.add_argument("--window", type=int, default=8,
+                    help="plain-decode steps per dispatch (engine "
+                         "default)")
+    ap.add_argument("--d-model", type=int, default=4096)
+    ap.add_argument("--n-layers", type=int, default=32)
+    ap.add_argument("--n-heads", type=int, default=32)
+    ap.add_argument("--n-kv-heads", type=int, default=32)
+    ap.add_argument("--d-ff", type=int, default=11008)
+    ap.add_argument("--max-seq", type=int, default=2048)
+    ap.add_argument("--weight-kind", default="w4a8")
+    ap.add_argument("--draft", default="trunc:4",
+                    help="'self' (accept-rate ~1 upper bound), "
+                         "'trunc:K' (target's first K layers), or "
+                         "'random:K' (fresh K-layer d/4 model)")
     args = ap.parse_args(argv)
+
     cfg_t = llama.LlamaConfig(
         vocab=32000, d_model=args.d_model, n_layers=args.n_layers,
-        n_heads=32, n_kv_heads=4, d_ff=args.d_model * 11 // 4,
-        max_seq=2048, weight_kind=args.weight_kind)
-    cfg_d = dc.replace(cfg_t, n_layers=args.draft_layers,
-                       d_model=args.d_model // 4, n_heads=8,
-                       d_ff=args.d_model * 11 // 16)
-    kt, kd = jax.random.split(jax.random.PRNGKey(0))
-    params_t = llama.init_params(kt, cfg_t)
-    params_d = llama.init_params(kd, cfg_d)
-    prompt = np.arange(1, 17) % cfg_t.vocab
-    toks, stats = speculative_decode(cfg_t, params_t, cfg_d, params_d,
-                                     prompt, args.n_new,
-                                     gamma=args.gamma)
-    ref = greedy_decode(cfg_t, params_t, prompt, args.n_new)
-    print(f"spec == greedy: {toks == ref}; tokens/target-call "
-          f"{stats.tokens_per_target_call:.2f} "
-          f"(target calls {stats.target_calls}, accept rate "
-          f"{stats.accept_rate:.2f})")
+        n_heads=args.n_heads, n_kv_heads=args.n_kv_heads,
+        d_ff=args.d_ff, max_seq=args.max_seq,
+        weight_kind=args.weight_kind)
+    params_t = llama.init_params(jax.random.PRNGKey(0), cfg_t)
+    if args.draft == "self":
+        cfg_d, params_d = cfg_t, params_t
+    elif args.draft.startswith("trunc:"):
+        cfg_d, params_d = truncated_draft(cfg_t, params_t,
+                                          int(args.draft[6:]))
+    else:
+        k = int(args.draft.split(":")[1])
+        cfg_d = dc.replace(cfg_t, n_layers=k, d_model=args.d_model // 4,
+                           n_heads=8, n_kv_heads=min(8, args.n_kv_heads),
+                           d_ff=args.d_ff // 4)
+        params_d = llama.init_params(jax.random.PRNGKey(1), cfg_d)
+    prompt = (np.arange(1, 33) % cfg_t.vocab).astype(np.int32)
+
+    def timed(fn):
+        fn()                                   # compile + warm
+        t0 = time.perf_counter()
+        out = fn()
+        return out, args.n_new / (time.perf_counter() - t0)
+
+    ref, plain_tps = timed(lambda: windowed_greedy_decode(
+        cfg_t, params_t, prompt, args.n_new, window=args.window))
+    print(f"plain windowed decode (W={args.window}): "
+          f"{plain_tps:.1f} tok/s", flush=True)
+    for gamma in args.gammas:
+        (out, stats), tps = timed(lambda: speculative_decode_device(
+            cfg_t, params_t, cfg_d, params_d, prompt, args.n_new,
+            gamma=gamma, rounds=args.rounds))
+        ok = out == ref[:len(out)]
+        tpv = stats.tokens_per_target_call
+        print(f"spec gamma={gamma} rounds={args.rounds} "
+              f"draft={args.draft}: {tps:.1f} tok/s "
+              f"({tps / plain_tps:.2f}x plain; accept rate "
+              f"{stats.accept_rate:.2f}, {tpv:.2f} tok/verify, "
+              f"greedy-exact={ok})", flush=True)
 
 
 if __name__ == "__main__":

@@ -23,11 +23,23 @@ _SO = _CSRC / "libhtog_native.so"
 _lib = None
 
 
+def _stale() -> bool:
+    """True when the .so is missing or older than any source/Makefile —
+    a previously built library must pick up new csrc/ code (a stale .so
+    would fail with missing symbols on newly added entry points)."""
+    if not _SO.exists():
+        return True
+    so_mtime = _SO.stat().st_mtime
+    srcs = list(_CSRC.glob("*.cpp")) + [_CSRC / "Makefile"]
+    return any(s.exists() and s.stat().st_mtime > so_mtime
+               for s in srcs)
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _SO.exists():
+    if _stale():
         subprocess.run(["make", "-C", str(_CSRC)], check=True,
                        capture_output=True)
     lib = ctypes.CDLL(str(_SO))
@@ -47,8 +59,37 @@ def _load():
     lib.htog_read_mfile.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
     lib.htog_read_mfile.restype = ctypes.c_int64
+    # paged-KV allocator (csrc/paged_alloc.cpp; parallel/kv_alloc.py
+    # wraps these as PagedAllocatorNative)
+    tok_ptr = ctypes.POINTER(ctypes.c_int32)
+    i64 = ctypes.c_int64
+    lib.pa_new.argtypes = [i64, i64, i64, i64, ctypes.c_int]
+    lib.pa_new.restype = ctypes.c_void_p
+    lib.pa_delete.argtypes = [ctypes.c_void_p]
+    lib.pa_grow_slot.argtypes = [ctypes.c_void_p, i64, i64]
+    lib.pa_grow_slot.restype = ctypes.c_int
+    lib.pa_release_slot.argtypes = [ctypes.c_void_p, i64]
+    lib.pa_attach_prefix.argtypes = [ctypes.c_void_p, i64, tok_ptr,
+                                     i64, i64]
+    lib.pa_attach_prefix.restype = i64
+    lib.pa_register_prefix.argtypes = [ctypes.c_void_p, i64, tok_ptr,
+                                       i64, i64]
+    lib.pa_table_ptr.argtypes = [ctypes.c_void_p]
+    lib.pa_table_ptr.restype = ctypes.c_void_p
+    for fn in ("pa_free_pages", "pa_cached_pages", "pa_hit_tokens"):
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        getattr(lib, fn).restype = i64
+    lib.pa_slot_npages.argtypes = [ctypes.c_void_p, i64]
+    lib.pa_slot_npages.restype = i64
+    lib._pa_tok_ptr = tok_ptr
     _lib = lib
     return lib
+
+
+def paged_alloc_lib():
+    """The loaded native library with pa_* prototypes attached
+    (PagedAllocatorNative's handle)."""
+    return _load()
 
 
 def native_dclock() -> float:

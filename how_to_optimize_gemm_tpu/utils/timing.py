@@ -84,36 +84,20 @@ def measure(fn: Callable[[], jax.Array], repeats: int = 3,
     return max(best - overhead, 1e-9)
 
 
-def time_chained(run: Callable[..., jax.Array], prepared: tuple,
-                 c: jax.Array, inner_iters: int = 8,
-                 outer_repeats: int = 3, warmup: int = 1,
-                 target_s: float = 0.5, max_iters: int = 65536,
-                 chain_via_b: bool = False,
-                 chain: str | None = None) -> float:
-    """Per-call seconds for ``run(*prepared, c)`` (see module docstring).
+def build_chained(run: Callable[..., jax.Array], prepared: tuple,
+                  c: jax.Array, *, chain: str = "acc",
+                  inner_iters: int = 8, target_s: float = 0.5,
+                  max_iters: int = 65536):
+    """Compile-and-warm a chained launch for ``run(*prepared, c)``.
 
-    The chain length auto-scales until the chained work dominates the
-    dispatch round trip (target_s of device time), otherwise the
-    overhead subtraction is noise at small problem sizes.
-
-    chain policies (``chain``, or legacy ``chain_via_b=True`` = "via_b"):
-
-    - "acc" (default): carry through the C accumulator. Honest for Pallas
-      rungs (custom calls, never hoisted); NOT for plain-XLA rungs, where
-      ``A @ B`` is loop-invariant and XLA hoists the entire matmul out of
-      the while loop, leaving only the ``+ C`` add in the timed region
-      (observed: a "2.7 PFLOPS" bf16 dot).
-    - "via_b": carry through the B OPERAND (``C_{i+1} = A @ C_i + C``,
-      square fp32/bf16 shapes only) — defeats hoisting structurally.
-    - "barrier": keep ALL operands in the loop carry behind
-      ``jax.lax.optimization_barrier`` each iteration, so the simplifier
-      cannot prove any operand loop-invariant. Works for any operand
-      structure (quantized/packed rungs included); used by the plain-XLA
-      int8 vendor-bar rung where via-B chaining is shape-impossible.
-    """
+    Returns ``(thunk, iters)``: ``thunk()`` dispatches ONE chained
+    launch of ``iters`` serial calls (see time_chained's chain policies)
+    and returns the output array for flushing. The chain length is
+    auto-scaled so one launch covers ~``target_s`` of device time —
+    the same policy as time_chained, factored out so the A/B protocol
+    (harness/ab.py) can interleave launches of two pre-built rungs
+    inside one session without re-entering the builder."""
     overhead = dispatch_overhead_s()
-    if chain is None:
-        chain = "via_b" if chain_via_b else "acc"
     chain_via_b = chain == "via_b"
 
     if chain_via_b:
@@ -169,18 +153,51 @@ def time_chained(run: Callable[..., jax.Array], prepared: tuple,
         iters = want
         fn = make(iters)
         flush(fn(operands, c, c))  # compile + warm
+    return (lambda: fn(operands, c, c)), iters
 
-    best = measure(lambda: fn(operands, c, c), repeats=outer_repeats,
-                   warmup=warmup)
+
+def time_chained(run: Callable[..., jax.Array], prepared: tuple,
+                 c: jax.Array, inner_iters: int = 8,
+                 outer_repeats: int = 3, warmup: int = 1,
+                 target_s: float = 0.5, max_iters: int = 65536,
+                 chain_via_b: bool = False,
+                 chain: str | None = None) -> float:
+    """Per-call seconds for ``run(*prepared, c)`` (see module docstring).
+
+    The chain length auto-scales until the chained work dominates the
+    dispatch round trip (target_s of device time), otherwise the
+    overhead subtraction is noise at small problem sizes.
+
+    chain policies (``chain``, or legacy ``chain_via_b=True`` = "via_b"):
+
+    - "acc" (default): carry through the C accumulator. Honest for Pallas
+      rungs (custom calls, never hoisted); NOT for plain-XLA rungs, where
+      ``A @ B`` is loop-invariant and XLA hoists the entire matmul out of
+      the while loop, leaving only the ``+ C`` add in the timed region
+      (observed: a "2.7 PFLOPS" bf16 dot).
+    - "via_b": carry through the B OPERAND (``C_{i+1} = A @ C_i + C``,
+      square fp32/bf16 shapes only) — defeats hoisting structurally.
+    - "barrier": keep ALL operands in the loop carry behind
+      ``jax.lax.optimization_barrier`` each iteration, so the simplifier
+      cannot prove any operand loop-invariant. Works for any operand
+      structure (quantized/packed rungs included); used by the plain-XLA
+      int8 vendor-bar rung where via-B chaining is shape-impossible.
+    """
+    if chain is None:
+        chain = "via_b" if chain_via_b else "acc"
+    thunk, iters = build_chained(run, prepared, c, chain=chain,
+                                 inner_iters=inner_iters,
+                                 target_s=target_s, max_iters=max_iters)
+    best = measure(thunk, repeats=outer_repeats, warmup=warmup)
     if best < 1e-6 and iters < max_iters:
         # Underflow: the whole chain measured faster than the round-trip
         # jitter (the clamped-at-1e-9 artifact). Re-run with a much
         # longer chain rather than report a fantasy number.
-        iters = min(iters * 16, max_iters)
-        fn = make(iters)
-        flush(fn(operands, c, c))
-        best = measure(lambda: fn(operands, c, c),
-                       repeats=outer_repeats, warmup=warmup)
+        thunk, iters = build_chained(
+            run, prepared, c, chain=chain,
+            inner_iters=min(iters * 16, max_iters),
+            target_s=target_s, max_iters=max_iters)
+        best = measure(thunk, repeats=outer_repeats, warmup=warmup)
     return best / iters
 
 

@@ -148,3 +148,34 @@ def test_spec_gamma_one(target):
     out, _ = speculative_decode(CFG, target, cfg_d, draft, prompt,
                                 n_new=9, gamma=1)
     assert out == greedy_decode(CFG, target, prompt, 9)
+
+
+def test_spec_device_equals_greedy_bad_draft(target):
+    """The device-looped variant (rounds per dispatch, uniform catch-up
+    feed, on-device accept logic) keeps the exact-greedy property with
+    a mismatched draft."""
+    from how_to_optimize_gemm_tpu.parallel.speculative import (
+        speculative_decode_device)
+    cfg_d = dataclasses.replace(CFG, n_layers=1, d_ff=32)
+    draft = llama.init_params(jax.random.PRNGKey(7), cfg_d)
+    prompt = np.arange(3, 11) % CFG.vocab
+    ref = greedy_decode(CFG, target, prompt, 24)
+    for rounds in (1, 3):
+        out, stats = speculative_decode_device(
+            CFG, target, cfg_d, draft, prompt, n_new=24, gamma=3,
+            rounds=rounds)
+        assert out == ref, rounds
+        assert stats.tokens >= 24
+
+
+def test_spec_device_self_draft_amortizes(target):
+    """Self-draft through the device loop: near-full acceptance and
+    rounds*(gamma+1) tokens per dispatch."""
+    from how_to_optimize_gemm_tpu.parallel.speculative import (
+        speculative_decode_device)
+    prompt = np.arange(1, 9) % CFG.vocab
+    out, stats = speculative_decode_device(CFG, target, CFG, target,
+                                           prompt, n_new=24, gamma=3,
+                                           rounds=2)
+    assert out == greedy_decode(CFG, target, prompt, 24)
+    assert stats.accept_rate > 0.9
