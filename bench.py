@@ -41,6 +41,7 @@ def main() -> None:
     best = None
     hand_peak = 0.0
     hand_best = None
+    vendor_peak = 0.0
     for rung, sizes in RUNGS.items():
         gate_cfg = SweepConfig(pfirst=1024, plast=1024, pinc=1,
                                nrepeats=2, warmup=0)
@@ -51,8 +52,12 @@ def main() -> None:
         for p in sizes:
             cfg = SweepConfig(pfirst=p, plast=p, pinc=1, nrepeats=8,
                               warmup=1)
+            # tuned=True consults the committed outputs/autotune.json
+            # (the reference's parameters.h constants); rows without a
+            # banked tuning run exactly as before
             rows = run_sweep(rung, cfg, verbose=False,
-                             quant_oracle=False, verify="device")
+                             quant_oracle=False, verify="device",
+                             tuned=True)
             for r in rows:
                 print(f"# {rung} p={r.p} {r.gflops:.1f} GFLOPS "
                       f"(kernel_rel={r.kernel_rel:.2e})", file=sys.stderr)
@@ -60,6 +65,8 @@ def main() -> None:
                     peak, best = r.gflops, rung
                 if "xla" not in rung and r.gflops > hand_peak:
                     hand_peak, hand_best = r.gflops, rung
+                if "xla" in rung:
+                    vendor_peak = max(vendor_peak, r.gflops)
 
     print(f"# best HAND rung: {hand_best} {hand_peak:.1f} GFLOPS "
           f"({100 * hand_peak / peak:.1f}% of the overall peak)",
@@ -70,6 +77,11 @@ def main() -> None:
         "value": round(peak, 1),
         "unit": "GFLOPS",
         "vs_baseline": round(peak / REFERENCE_BEST_GFLOPS, 3),
+        # the hand-vs-vendor contest, tracked without stderr
+        # archaeology (round-2 verdict #9)
+        "hand_value": round(hand_peak, 1),
+        "hand_rung": hand_best,
+        "vendor_value": round(vendor_peak, 1),
     }))
 
 

@@ -31,37 +31,80 @@ def main():
                     choices=["bf16", "int8"])
     ap.add_argument("--d-model", type=int, default=2048)
     ap.add_argument("--n-layers", type=int, default=8)
+    ap.add_argument("--max-seq", type=int, default=2048)
     ap.add_argument("--slots", type=int, default=4)
     ap.add_argument("--requests", type=int, default=8)
+    ap.add_argument("--prompt-len", type=int, default=64)
     ap.add_argument("--max-new", type=int, default=64)
     ap.add_argument("--temperature", type=float, default=0.0)
+    ap.add_argument("--paged", action="store_true",
+                    help="block-table paged KV pool (the engine-level "
+                         "paged-vs-contiguous A/B)")
+    ap.add_argument("--cache-pages", type=int, default=None,
+                    help="paged pool size incl. trash page; less than "
+                         "slots*max_seq/page oversubscribes — the "
+                         "engine preempts-and-requeues when it runs dry")
+    ap.add_argument("--prefix-cache", action="store_true")
+    ap.add_argument("--alloc-backend", default="py",
+                    choices=["py", "native"],
+                    help="paged-KV allocator tier (parallel/kv_alloc)")
+    ap.add_argument("--spec-gamma", type=int, default=0,
+                    help="> 0: speculative decoding under continuous "
+                         "batching (ServingEngine.run_spec) with this "
+                         "many draft tokens per round; greedy only")
+    ap.add_argument("--spec-rounds", type=int, default=4)
+    ap.add_argument("--spec-draft-layers", type=int, default=4,
+                    help="draft = the target's first K layers "
+                         "(early-exit; shares embed/head)")
     args = ap.parse_args()
+    if args.spec_gamma and args.temperature > 0:
+        ap.error("--spec-gamma requires greedy (--temperature 0)")
 
     cfg = llama.LlamaConfig(
         vocab=32000, d_model=args.d_model, n_layers=args.n_layers,
         n_heads=16, n_kv_heads=4, d_ff=args.d_model * 11 // 4,
-        max_seq=2048, weight_kind=args.weight_kind)
+        max_seq=args.max_seq, weight_kind=args.weight_kind)
     params = llama.init_params(jax.random.PRNGKey(0), cfg)
 
     eng = ServingEngine(cfg, params, batch_slots=args.slots,
                         cache_kind=args.cache_kind,
-                        sample=make_sampler(args.temperature, top_k=40))
+                        sample=make_sampler(args.temperature, top_k=40),
+                        paged=args.paged, cache_pages=args.cache_pages,
+                        prefix_cache=args.prefix_cache,
+                        alloc_backend=args.alloc_backend)
     rng = np.random.default_rng(0)
     mk = lambda: [Request(uid=i,
-                          prompt=list(rng.integers(1, 30000, 64)),
+                          prompt=list(rng.integers(
+                              1, 30000, args.prompt_len)),
                           max_new=args.max_new)
                   for i in range(args.requests)]
-    eng.run(mk(), window=16)       # warm every compile path
+    if args.spec_gamma:
+        from how_to_optimize_gemm_tpu.parallel.speculative import (
+            truncated_draft)
+        cfg_d, params_d = truncated_draft(cfg, params,
+                                          args.spec_draft_layers)
+        run = lambda: eng.run_spec(mk(), cfg_d, params_d,
+                                   gamma=args.spec_gamma,
+                                   rounds=args.spec_rounds)
+    else:
+        run = lambda: eng.run(mk(), window=16)
+    run()                          # warm every compile path
     t0 = time.perf_counter()
-    done = eng.run(mk(), window=16)
+    done = run()
     dt = time.perf_counter() - t0
     ntok = sum(len(r.out) for r in done)
     for r in done[:2]:
         print(f"request {r.uid}: {r.out[:8]}...")
     ttfts = [r.t_first - r.t_submit for r in done if r.t_first]
+    extra = ""
+    if args.paged:
+        used = eng.n_pages - 1
+        extra = (f"; paged pool {used} pages x {eng.page} tok"
+                 + (f", prefix hits {eng.prefix_hit_tokens} tok"
+                    if args.prefix_cache else ""))
     print(f"{ntok} tokens in {dt:.2f}s = {ntok / dt:.0f} tok/s; "
           f"TTFT p50={sorted(ttfts)[len(ttfts) // 2] * 1e3:.0f} ms "
-          f"max={max(ttfts) * 1e3:.0f} ms")
+          f"max={max(ttfts) * 1e3:.0f} ms{extra}")
 
 
 if __name__ == "__main__":

@@ -135,15 +135,18 @@ def _stream_kernel(bq: int, bk: int, ts_len: int, scale: float,
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "bq", "bk",
-                                             "interpret"))
+                                             "interpret", "scale"))
 def flash_attention(q, k, v, *, causal: bool = True, bq: int = 512,
-                    bk: int = 512, interpret: bool | None = None):
+                    bk: int = 512, scale: float | None = None,
+                    interpret: bool | None = None):
     """Streaming causal attention. q: (B, H, S, D); k, v: (B, KVH, T, D);
     returns (B, H, S, D) in q's dtype. fp32 online-softmax state; scores
     never touch HBM. Any S and T (operands are zero-padded to block
     multiples and the tail is masked — the ladder's bounds.py discipline
     applied to attention); K/V streams block-by-block, so T is not
-    VMEM-bounded (S=T=65536 runs on one chip)."""
+    VMEM-bounded (S=T=65536 runs on one chip). scale defaults to
+    D**-0.5; the head-packed d=64 view passes the TRUE head dim's scale
+    (its lane width is 2*D — see flash_attention_packed)."""
     b, h, s, d = q.shape
     _, kvh, t, _ = k.shape
     rep = h // kvh
@@ -160,7 +163,7 @@ def flash_attention(q, k, v, *, causal: bool = True, bq: int = 512,
     k = bounds.pad_dim(k, 2, ts_len)
     v = bounds.pad_dim(v, 2, ts_len)
     sp, tp = q.shape[2], k.shape[2]
-    scale = d ** -0.5
+    scale = d ** -0.5 if scale is None else scale
     nts = tp // ts_len
     grid = (b, h, sp // bq, nts)
     # Dead-strip clamp: a strip wholly past this q block's causal window
@@ -215,16 +218,70 @@ def flash_attention(q, k, v, *, causal: bool = True, bq: int = 512,
     return out[:, :, :s]
 
 
+def flash_attention_packed(q, k, v, *, causal: bool = True,
+                           bq: int = 512, bk: int = 512,
+                           interpret: bool | None = None):
+    """d=64 head-packed flash attention: two adjacent KV heads ride one
+    128-lane row so the score contraction runs at the MXU's native
+    depth.
+
+    The d=64 question (round-2 gap #2): the QK^T contraction is over D,
+    so a d=64 model feeds the MXU half its depth. Packing pairs of KV
+    heads into 128 lanes (k/v: a lane-concat of adjacent heads; q: each
+    head zero-extended into its pair band, so the zero band annihilates
+    the cross-head terms — the same algebra as the decode kernel's
+    _pair_heads view, ops/pallas_decode_attention.py) restores full
+    contraction depth at exactly 2x the MACs. Useful throughput wins
+    iff the MXU's depth-64 rate is BELOW HALF its depth-128 rate
+    (probes.mxu_depth_gflops measures exactly this) — otherwise the
+    zero MACs cost what the idle depth did and this view is neutral;
+    the chained A/B records the verdict either way.
+
+    Implementation is a pure VIEW over the unmodified streaming kernel:
+    with KVH even, q (B, H, S, 64) -> (B, H, S, 128) banded, k/v
+    (B, KVH, T, 64) -> (B, KVH/2, T, 128), and GQA's own head->group
+    fold handles the pair mapping (rep doubles). The PV matmul's output
+    also fills all 128 lanes ([P@V_g1 | P@V_g2]); each head keeps its
+    own band. scale stays 64**-0.5 (the TRUE head dim)."""
+    b, h, s, d = q.shape
+    _, kvh, t, _ = k.shape
+    assert kvh % 2 == 0, "head packing pairs adjacent kv heads"
+    rep = h // kvh
+    band = ((jnp.arange(h) // rep) % 2)[None, :, None, None]   # 0 | 1
+    z = jnp.zeros_like(q)
+    q2 = jnp.concatenate([jnp.where(band == 0, q, z),
+                          jnp.where(band == 0, z, q)], axis=-1)
+    # lane-concat of adjacent kv heads: contiguous in the (…, KVH, T, D)
+    # layout only via the (…, T, KVH, D) model layout — callers reshape
+    # there (mha_flash); here it is an explicit concat
+    k2 = jnp.concatenate([k[:, 0::2], k[:, 1::2]], axis=-1)
+    v2 = jnp.concatenate([v[:, 0::2], v[:, 1::2]], axis=-1)
+    out = flash_attention(q2, k2, v2, causal=causal, bq=bq, bk=bk,
+                          scale=d ** -0.5, interpret=interpret)
+    return jnp.where(band == 0, out[..., :d], out[..., d:])
+
+
 def mha_flash(q, k, v, *, causal: bool = True,
+              pack_heads: bool | None = None,
               interpret: bool | None = None):
     """Model-layout wrapper: q (B, S, H, D), k/v (B, T, KVH, D) ->
-    (B, S, H*D), matching models/llama._attention's contract."""
+    (B, S, H*D), matching models/llama._attention's contract.
+
+    pack_heads routes d=64 even-kvh models through the head-packed
+    view (flash_attention_packed). None = auto: MEASURED OFF — the
+    round-3 chained A/B (B=8 H=32 KVH=4 d=64, S=2048/4096/8192, chip)
+    decides; see flash_attention_packed's docstring for the verdict."""
     b, s, h, d = q.shape
+    packable = d == 64 and k.shape[2] % 2 == 0
+    if pack_heads is None:
+        pack_heads = False      # flip iff the chip A/B shows a win
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
-    out = flash_attention(qt.astype(kt.dtype), kt, vt, causal=causal,
-                          interpret=interpret)
+    fn = (flash_attention_packed if pack_heads and packable
+          else flash_attention)
+    out = fn(qt.astype(kt.dtype), kt, vt, causal=causal,
+             interpret=interpret)
     return jnp.swapaxes(out, 1, 2).reshape(b, s, h * d).astype(jnp.float32)
 
 

@@ -49,6 +49,25 @@ def _pick_block(dim: int, cap: int) -> int:
     return dim
 
 
+def _auto_bf(rows: int, f: int, elt: int,
+             budget_mb: float = 14.0) -> int:
+    """VMEM-aware weight-block width: the LARGEST 128-multiple divisor
+    of f whose double-buffered (rows, bf) weight block fits the budget
+    (Mosaic's fast-VMEM comfort zone, the ladder's <=14 MB law).
+
+    Measured motivation (round 3, chip): a fixed 512 cap at d_ff=1408
+    picks bf=128 (the only small 128-multiple divisor), splintering a
+    T=4096 prefill into ~800 grid steps — grid-step overhead then
+    dominates (the rung-03b lesson recurring) and the ragged path LOST
+    to dispatch (4.92 vs 4.43 ms). Whole-f blocks (5.8 MB at d=2048)
+    restore one coarse step per token block."""
+    budget = budget_mb * 1024 * 1024
+    for bf in range(f, 127, -128):
+        if f % bf == 0 and 2 * rows * bf * elt <= budget:
+            return bf
+    return _pick_block(f, 512)
+
+
 def _kernel(be_ref, x_ref, w_ref, s_ref, o_ref):
     del be_ref  # consumed by the index_maps
     # int8 expert stacks convert per-BLOCK in VMEM (the stack streams
@@ -93,7 +112,8 @@ def _gmm_call(x, w, block_expert, scales, bt: int, bf: int,
     e, dw, f = w.shape
     assert dw == (d // 2 if packed4 else d), (x.shape, w.shape, packed4)
     assert tp % bt == 0, (tp, bt)
-    bf = _pick_block(f, bf)
+    bf = (_auto_bf(dw, f, w.dtype.itemsize) if bf is None
+          else _pick_block(f, bf))
     nb = tp // bt
     assert block_expert.shape == (nb,), (block_expert.shape, nb)
 
@@ -150,7 +170,10 @@ def _gmm_call_t(x, w, block_expert, bt: int, bo_cap: int,
     tp, f = x.shape
     e, dout, fw = w.shape
     assert fw == f and tp % bt == 0, (x.shape, w.shape, bt)
-    bo = _pick_block(dout, bo_cap)
+    # block is (bo, f): full contraction resident, so the budget is
+    # over bo rows of f columns
+    bo = (_auto_bf(f, dout, w.dtype.itemsize) if bo_cap is None
+          else _pick_block(dout, bo_cap))
     nb = tp // bt
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -204,7 +227,8 @@ def _gmm_call_t4(x, w, block_expert, dout: int, bt: int, bo_cap: int,
     e, dh, fw = w.shape
     assert fw == f and dh * 2 == dout and tp % bt == 0, (
         x.shape, w.shape, dout, bt)
-    bo = _pick_block(dout // 2, bo_cap)
+    bo = (_auto_bf(f, dout // 2, w.dtype.itemsize) if bo_cap is None
+          else _pick_block(dout // 2, bo_cap))
     nh = (dout // 2) // bo
     nb = tp // bt
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -257,7 +281,8 @@ def _grouped_dw(x, dy, block_expert, e: int, bt: int, bf: int,
     so no output tile is left unwritten."""
     tp, d = x.shape
     f = dy.shape[1]
-    bf = _pick_block(f, bf)
+    # the dW out block is (1, d, bf) fp32 and revisited — budget it
+    bf = (_auto_bf(d, f, 4) if bf is None else _pick_block(f, bf))
     nb = tp // bt
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -389,7 +414,7 @@ _gmm_q4.defvjp(_gmm_q4_fwd, _gmm_q4_bwd)
 @functools.partial(jax.jit, static_argnames=("bt", "bf", "interpret",
                                              "packed4"))
 def grouped_matmul(x, w, block_expert, scales=None, *, bt: int = 128,
-                   bf: int = 512, packed4: bool = False,
+                   bf: int | None = None, packed4: bool = False,
                    interpret: bool | None = None):
     """Ragged y[i*bt:(i+1)*bt] = x[i*bt:(i+1)*bt] @ w[block_expert[i]].
 
@@ -398,7 +423,9 @@ def grouped_matmul(x, w, block_expert, scales=None, *, bt: int = 128,
     prefetch map; optional ``scales`` (E, 1, f) applied per output
     column (the int8 expert-stack epilogue). d and f must be lane/
     sublane friendly (f % 128 == 0, d % 8 == 0); bf caps the streamed
-    weight block (d*bf*elt bytes of VMEM per step).
+    weight block (d*bf*elt bytes of VMEM per step) — None (default)
+    picks the VMEM-aware width (_auto_bf: whole f when the double-
+    buffered block fits ~14 MB, else the largest fitting divisor).
 
     Every form is DIFFERENTIABLE. Dense (scales=None): custom VJP — dx
     is the transposed grouped matmul, dW a revisited-output segment-sum

@@ -393,7 +393,8 @@ def _ragged_layout(flat_exp: jnp.ndarray, t: int, e: int, k: int,
 
 
 def moe_ffn_ragged(params, x: jnp.ndarray, k: int = 2, bt: int = 128,
-                   bf: int = 512, interpret: bool | None = None,
+                   bf: int | None = None,
+                   interpret: bool | None = None,
                    return_aux: bool = False):
     """Dropless routed MoE with NO static-shape overcompute: tokens are
     expert-sorted and each expert multiplies exactly its own (bt-padded)

@@ -480,6 +480,246 @@ class ServingEngine:
                 self.slot_tok[s] = 0
                 self.slot_adapter[s] = -1
 
+    # ------------------------------------------------- speculative mode
+    def _spec_block(self, cfg_d, gamma: int, rounds: int):
+        """Compile the batched draft+verify block: ``rounds`` whole
+        speculative rounds for ALL slots in ONE dispatch (the
+        continuous-batching composition of
+        parallel/speculative.speculative_decode_device — same uniform
+        [prev, pending] catch-up feed and on-device accept logic,
+        vectorized over slots with per-slot positions)."""
+        cfg = self.cfg
+        use_pallas = self.use_pallas
+
+        @jax.jit
+        def block(params_t, params_d, t_cache, d_cache, prev, pending,
+                  pos, table=None):
+            b = prev.shape[0]
+
+            def round_fn(carry, _):
+                t_cache, d_cache, prev, pending, pos = carry
+                feed = jnp.stack([prev, pending], axis=1)   # (B, 2)
+                lg, d_cache = llama.decode_step(
+                    params_d, cfg_d, d_cache, feed, pos - 1,
+                    use_pallas=use_pallas)
+                first = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+
+                def dstep(c, _):
+                    cache, tok, p = c
+                    lg, cache = llama.decode_step(
+                        params_d, cfg_d, cache, tok[:, None], p,
+                        use_pallas=use_pallas)
+                    nxt = jnp.argmax(lg[:, -1], axis=-1).astype(
+                        jnp.int32)
+                    return (cache, nxt, p + 1), nxt
+
+                (d_cache, _, _), rest = jax.lax.scan(
+                    dstep, (d_cache, first, pos + 1), None,
+                    length=gamma - 1)                     # (gamma-1, B)
+                drafts = jnp.concatenate(
+                    [first[None], rest]).T                # (B, gamma)
+
+                chain = jnp.concatenate([pending[:, None], drafts],
+                                        axis=1)           # (B, gamma+1)
+                v_logits, t_cache = llama.decode_step(
+                    params_t, cfg, t_cache, chain, pos,
+                    use_pallas=use_pallas, table=table)
+                greedy = jnp.argmax(v_logits, axis=-1).astype(
+                    jnp.int32)                            # (B, gamma+1)
+
+                match = drafts == greedy[:, :gamma]
+                a = jnp.argmin(jnp.concatenate(
+                    [match, jnp.zeros((b, 1), bool)], axis=1),
+                    axis=1).astype(jnp.int32)             # (B,)
+                rows = jnp.arange(b)
+                prev_n = jnp.where(a > 0,
+                                   greedy[rows, jnp.maximum(a - 1, 0)],
+                                   pending)
+                return ((t_cache, d_cache, prev_n, greedy[rows, a],
+                         pos + a + 1), (greedy, a))
+
+            (t_cache, d_cache, prev, pending, pos), (toks, accepts) = \
+                jax.lax.scan(round_fn,
+                             (t_cache, d_cache, prev, pending, pos),
+                             None, length=rounds)
+            return (t_cache, d_cache, prev, pending, pos,
+                    toks, accepts)   # toks (rounds, B, gamma+1)
+
+        return block
+
+    def run_spec(self, requests: list[Request], cfg_d, params_d,
+                 eos_id: int | None = None, gamma: int = 4,
+                 rounds: int = 4) -> list[Request]:
+        """Serve with SPECULATIVE decoding under continuous batching:
+        a draft model proposes gamma tokens per round, the target
+        verifies whole chains, and ``rounds`` rounds for all slots run
+        per dispatch. The greedy token stream is IDENTICAL to
+        ``run()``'s (asserted in tests) — draft quality changes speed,
+        never output. Greedy only (the engine's exactness contract);
+        LoRA not composed with spec mode.
+
+        The draft keeps its own contiguous bf16 cache and re-prefills
+        each admitted prompt in full (prefix-cache hits apply to the
+        TARGET cache only; the draft is priced as negligible). Near
+        max_seq the engine falls back to plain windowed decode for the
+        tail, so spec mode never writes past the window run() would."""
+        import time as _time
+        assert self.lora is None, "spec mode does not compose with LoRA"
+        assert cfg_d.vocab == self.cfg.vocab, "draft must share vocab"
+        d_cache = llama.init_kv_cache(cfg_d, self.batch,
+                                      dtype=jnp.float32)
+        block = self._spec_block(cfg_d, gamma, rounds)
+
+        @jax.jit
+        def draft_prefill(params_d, d_cache, tokens, pos, write_mask):
+            _, d_cache = llama.decode_step(
+                params_d, cfg_d, d_cache, tokens, pos,
+                use_pallas=self.use_pallas, write_mask=write_mask,
+                prefill_self=True)
+            return d_cache
+
+        # prev token per slot: the committed token at slot_pos - 1
+        # (the prompt's last token right after admission)
+        prev_tok = np.zeros(self.batch, np.int32)
+
+        def admit(queue):
+            before = [self.slot_req[s] for s in range(self.batch)]
+            self._admit(queue)
+            fresh = [s for s in range(self.batch)
+                     if self.slot_req[s] is not None
+                     and self.slot_req[s] is not before[s]]
+            if not fresh:
+                return
+            # draft prefill for newly admitted slots (full prompt +
+            # resume tokens; the engine's own _admit sampled ONE token
+            # already, so the draft must hold everything before it)
+            plens = [int(self.slot_pos[s]) for s in fresh]
+            bucket = min(self._bucket(max(plens)), cfg_d.max_seq)
+            tokens = np.zeros((self.batch, bucket), np.int32)
+            pos = np.zeros(self.batch, np.int32)
+            mask = np.zeros(self.batch, bool)
+            for s in fresh:
+                req = self.slot_req[s]
+                full = (req.prompt + req.out)[:-1]   # pending excluded
+                tokens[s, :len(full)] = full
+                mask[s] = True
+                prev_tok[s] = full[-1]
+            nonlocal d_cache
+            d_cache = draft_prefill(params_d, d_cache,
+                                    jnp.asarray(tokens),
+                                    jnp.asarray(pos), jnp.asarray(mask))
+
+        queue = list(requests)
+        now = _time.perf_counter()
+        for r in queue:
+            r.t_submit = now
+        self._eos_id = eos_id
+        admit(queue)
+        max_adv = rounds * (gamma + 1) + gamma + 1
+        while any(r is not None for r in self.slot_req):
+            active = [s for s in range(self.batch)
+                      if self.slot_req[s] is not None]
+            room = self.cfg.max_seq - 1 - max(int(self.slot_pos[s])
+                                              for s in active)
+            if room < max_adv:
+                # tail: plain windowed decode (run()'s machinery) —
+                # identical greedy semantics, no spec speedup needed
+                # for the last few tokens
+                w = 1 << (max(1, min(8, room)).bit_length() - 1)
+                self._plain_window(queue, w)
+                admit(queue)
+                continue
+            if self.paged:
+                for s in active:
+                    while not self.alloc.grow(
+                            s, int(self.slot_pos[s]) + max_adv):
+                        if not self._preempt_newest(s, queue):
+                            raise RuntimeError(
+                                "spec block needs pages with no slot "
+                                "to preempt; raise cache_pages")
+                if all(r is None for r in self.slot_req):
+                    admit(queue)
+                    continue
+            table = (jnp.asarray(self.table_np) if self.paged
+                     else None)
+            (self.cache, d_cache, prev_j, pend_j, pos_j, toks,
+             accepts) = block(
+                self.params, params_d, self.cache, d_cache,
+                jnp.asarray(prev_tok), jnp.asarray(self.slot_tok),
+                jnp.asarray(self.slot_pos), table)
+            toks = np.asarray(toks)          # (rounds, B, gamma+1)
+            accepts = np.asarray(accepts)    # (rounds, B)
+            prev_np = np.asarray(prev_j)
+            pend_np = np.asarray(pend_j)
+            pos_np = np.asarray(pos_j)
+            for s in list(active):
+                req = self.slot_req[s]
+                done = False
+                for r in range(rounds):
+                    a = int(accepts[r, s])
+                    for tok in toks[r, s, :a + 1].tolist():
+                        self.slot_pos[s] += 1
+                        req.out.append(tok)
+                        hit_eos = eos_id is not None and tok == eos_id
+                        full = self.slot_pos[s] + 1 >= self.cfg.max_seq
+                        if (len(req.out) >= req.max_new or hit_eos
+                                or full):
+                            done = True
+                            break
+                        self.slot_tok[s] = tok
+                    if done:
+                        break
+                if done:
+                    req.done = True
+                    req.t_done = _time.perf_counter()
+                    self._release_pages(s)
+                    self.slot_req[s] = None
+                    self.slot_pos[s] = 0
+                    self.slot_tok[s] = 0
+                    self.slot_adapter[s] = -1
+                else:
+                    # the block's own bookkeeping is exact when the
+                    # slot consumed every round
+                    self.slot_pos[s] = int(pos_np[s])
+                    self.slot_tok[s] = int(pend_np[s])
+                    prev_tok[s] = int(prev_np[s])
+            admit(queue)
+        return requests
+
+    def _plain_window(self, queue, w: int) -> None:
+        """One plain windowed-decode dispatch (run()'s inner step),
+        shared by the spec-mode tail path."""
+        import time as _time
+        tokens = jnp.asarray(self.slot_tok.reshape(-1, 1))
+        pos = jnp.asarray(self.slot_pos)
+        self._key, sub = jax.random.split(self._key)
+        toks, self.cache = self._decode(
+            self.params, self.cache, tokens, pos, sub,
+            jnp.asarray(self.table_np) if self.paged else None,
+            window=w, lora=self.lora, lora_idx=self._lora_idx())
+        toks = np.asarray(toks)
+        for s in range(self.batch):
+            req = self.slot_req[s]
+            if req is None:
+                continue
+            for i in range(w):
+                self.slot_pos[s] += 1
+                tok = int(toks[i, s])
+                req.out.append(tok)
+                hit_eos = (self._eos_id is not None
+                           and tok == self._eos_id)
+                full = self.slot_pos[s] + 1 >= self.cfg.max_seq
+                if len(req.out) >= req.max_new or hit_eos or full:
+                    req.done = True
+                    req.t_done = _time.perf_counter()
+                    self._release_pages(s)
+                    self.slot_req[s] = None
+                    self.slot_pos[s] = 0
+                    self.slot_tok[s] = 0
+                    self.slot_adapter[s] = -1
+                    break
+                self.slot_tok[s] = tok
+
     # -------------------------------------------------------------- run
     def run(self, requests: list[Request], eos_id: int | None = None,
             window: int = 8) -> list[Request]:

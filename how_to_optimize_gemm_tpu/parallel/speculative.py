@@ -35,6 +35,7 @@ draft: the catch-up feed) before any query attends to them.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -59,8 +60,13 @@ class SpecStats:
         return self.accepted / max(1, self.draft_calls)
 
 
-def _prefill(cfg, params, prompt: np.ndarray, use_pallas):
-    cache = llama.init_kv_cache(cfg, batch=1, dtype=jnp.float32)
+def _prefill(cfg, params, prompt: np.ndarray, use_pallas,
+             cache_dtype=jnp.float32):
+    """fp32 cache by default (the correctness-oracle functions compare
+    argmaxes across differently-shaped forwards, where bf16 rounding
+    flips near-ties on random-init weights); the tokens/s measurement
+    path passes bf16 — the serving engine's own width."""
+    cache = llama.init_kv_cache(cfg, batch=1, dtype=cache_dtype)
     logits, cache = llama.decode_step(
         params, cfg, cache, jnp.asarray(prompt[None, :]), jnp.int32(0),
         use_pallas=use_pallas, prefill_self=True)
@@ -158,7 +164,8 @@ def speculative_decode(cfg_t, params_t, cfg_d, params_d, prompt,
 def speculative_decode_device(cfg_t, params_t, cfg_d, params_d, prompt,
                               n_new: int, gamma: int = 4,
                               rounds: int = 8,
-                              use_pallas: bool | None = None
+                              use_pallas: bool | None = None,
+                              cache_dtype=jnp.float32
                               ) -> tuple[list[int], SpecStats]:
     """Device-looped greedy speculative decoding: ``rounds`` whole
     draft+verify rounds run in ONE dispatch.
@@ -191,8 +198,10 @@ def speculative_decode_device(cfg_t, params_t, cfg_d, params_d, prompt,
     prompt = np.asarray(prompt, np.int32)
     stats = SpecStats()
 
-    t_logits, t_cache = _prefill(cfg_t, params_t, prompt, use_pallas)
-    _, d_cache = _prefill(cfg_d, params_d, prompt, use_pallas)
+    t_logits, t_cache = _prefill(cfg_t, params_t, prompt, use_pallas,
+                                 cache_dtype)
+    _, d_cache = _prefill(cfg_d, params_d, prompt, use_pallas,
+                          cache_dtype)
     stats.target_calls += 1
     stats.draft_calls += 1
 
@@ -202,7 +211,9 @@ def speculative_decode_device(cfg_t, params_t, cfg_d, params_d, prompt,
     n = len(prompt)
     prev = int(prompt[-1])        # committed token at position n-1
 
-    @jax.jit
+    # donate the caches: without it every dispatch allocates (and on
+    # the relay, materializes) a fresh multi-GB cache output buffer
+    @functools.partial(jax.jit, donate_argnums=(2, 3))
     def block(params_t, params_d, t_cache, d_cache, prev, pending, n):
         def round_fn(carry, _):
             t_cache, d_cache, prev, pending, n = carry
@@ -427,14 +438,16 @@ def speculative_sample(cfg_t, params_t, cfg_d, params_d, prompt,
 
 def windowed_greedy_decode(cfg, params, prompt, n_new: int,
                            window: int = 8,
-                           use_pallas: bool | None = None) -> list[int]:
+                           use_pallas: bool | None = None,
+                           cache_dtype=jnp.float32) -> list[int]:
     """Target-only greedy decode with ``window`` steps per dispatch —
     the plain-decode side of the speculative tokens/s A/B, using the
     serving engine's own relay economics (serving.py _decode)."""
     prompt = np.asarray(prompt, np.int32)
-    logits, cache = _prefill(cfg, params, prompt, use_pallas)
+    logits, cache = _prefill(cfg, params, prompt, use_pallas,
+                             cache_dtype)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def block(params, cache, tok, pos):
         def step(carry, _):
             cache, tok, pos = carry
@@ -523,13 +536,15 @@ def main(argv=None):
         return out, args.n_new / (time.perf_counter() - t0)
 
     ref, plain_tps = timed(lambda: windowed_greedy_decode(
-        cfg_t, params_t, prompt, args.n_new, window=args.window))
+        cfg_t, params_t, prompt, args.n_new, window=args.window,
+        cache_dtype=jnp.bfloat16))
     print(f"plain windowed decode (W={args.window}): "
           f"{plain_tps:.1f} tok/s", flush=True)
     for gamma in args.gammas:
         (out, stats), tps = timed(lambda: speculative_decode_device(
             cfg_t, params_t, cfg_d, params_d, prompt, args.n_new,
-            gamma=gamma, rounds=args.rounds))
+            gamma=gamma, rounds=args.rounds,
+            cache_dtype=jnp.bfloat16))
         ok = out == ref[:len(out)]
         tpv = stats.tokens_per_target_call
         print(f"spec gamma={gamma} rounds={args.rounds} "

@@ -218,3 +218,36 @@ def test_flash_multi_strip_long_context():
     ref = jnp.einsum("bhst,bhtd->bhsd", jax.nn.softmax(sc, -1), vf)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=3e-2)
+
+
+@pytest.mark.parametrize("h,kvh", [(8, 4), (4, 4), (8, 2)])
+def test_flash_packed_matches_plain(h, kvh):
+    """The d=64 head-packed view (two kv heads per 128-lane row, banded
+    queries) must equal the plain kernel: the zero band annihilates
+    every cross-head term and scale stays 64**-0.5."""
+    from how_to_optimize_gemm_tpu.ops.pallas_attention import (
+        flash_attention_packed)
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv_ = jax.random.split(key, 3)
+    b, s, t, d = 2, 256, 256, 64
+    q = jax.random.normal(kq, (b, h, s, d), jnp.float32)
+    k = jax.random.normal(kk, (b, kvh, t, d), jnp.float32)
+    v = jax.random.normal(kv_, (b, kvh, t, d), jnp.float32)
+    ref = flash_attention(q, k, v, causal=True, bq=128, bk=128)
+    out = flash_attention_packed(q, k, v, causal=True, bq=128, bk=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_mha_flash_pack_heads_route():
+    from how_to_optimize_gemm_tpu.ops.pallas_attention import mha_flash
+    key = jax.random.PRNGKey(5)
+    kq, kk, kv_ = jax.random.split(key, 3)
+    b, s, h, kvh, d = 1, 130, 4, 2, 64   # odd S exercises the padding
+    q = jax.random.normal(kq, (b, s, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, s, kvh, d), jnp.float32)
+    v = jax.random.normal(kv_, (b, s, kvh, d), jnp.float32)
+    ref = mha_flash(q, k, v, causal=True)
+    out = mha_flash(q, k, v, causal=True, pack_heads=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
