@@ -70,12 +70,23 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
-def _prep(rung_name: str, m: int, n: int, k: int, seed: int = 0):
-    """Prepare + device-gate + build the chained thunk for one rung."""
+def _prep(rung_name: str, m: int, n: int, k: int, seed: int = 0,
+          tuned: bool = False):
+    """Prepare + device-gate + build the chained thunk for one rung.
+    tuned consults the banked autotune cache like ``driver --tuned``."""
     rung = registry.get(rung_name)
     a, b, c = make_abc(jax.random.PRNGKey(seed), m, n, k)
     prepared = jax.block_until_ready(rung.prepare(a, b))
-    out = rung.run(*prepared, c)
+    run = rung.run
+    if tuned:
+        import functools
+
+        from how_to_optimize_gemm_tpu.harness import autotune
+        hit = autotune.cached(rung_name, m, n, k)
+        if hit is not None:
+            run = functools.partial(rung.run, bm=hit[0], bn=hit[1],
+                                    bk=hit[2])
+    out = run(*prepared, c)
     ae, be = rung.effective(prepared)
     ref = (jnp.dot(jnp.asarray(ae), jnp.asarray(be),
                    precision=jax.lax.Precision.HIGHEST) + c)
@@ -86,14 +97,15 @@ def _prep(rung_name: str, m: int, n: int, k: int, seed: int = 0):
     mode = rung.chain
     if mode == "via_b" and not (m == n == k):
         mode = "barrier"
-    thunk, iters = build_chained(rung.run, prepared, c, chain=mode)
+    thunk, iters = build_chained(run, prepared, c, chain=mode)
     return thunk, iters
 
 
 def ab_at_size(rung_a: str, rung_b: str, p: int, *, rounds: int = 7,
-               tie_rel: float = 0.005, verbose: bool = True) -> ABResult:
-    thunk_a, iters_a = _prep(rung_a, p, p, p)
-    thunk_b, iters_b = _prep(rung_b, p, p, p)
+               tie_rel: float = 0.005, tuned: bool = False,
+               verbose: bool = True) -> ABResult:
+    thunk_a, iters_a = _prep(rung_a, p, p, p, tuned=tuned)
+    thunk_b, iters_b = _prep(rung_b, p, p, p, tuned=tuned)
     overhead = dispatch_overhead_s()
     flops = 2.0 * p * p * p
 
@@ -137,10 +149,10 @@ def ab_at_size(rung_a: str, rung_b: str, p: int, *, rounds: int = 7,
 
 def run_protocol(rung_a: str, rung_b: str, sizes: list[int], *,
                  rounds: int = 7, tie_rel: float = 0.005,
-                 artifact_dir=DEFAULT_DIR,
+                 tuned: bool = False, artifact_dir=DEFAULT_DIR,
                  verbose: bool = True) -> list[ABResult]:
     results = [ab_at_size(rung_a, rung_b, p, rounds=rounds,
-                          tie_rel=tie_rel, verbose=verbose)
+                          tie_rel=tie_rel, tuned=tuned, verbose=verbose)
                for p in sizes]
     path = pathlib.Path(artifact_dir) / f"ab_{rung_a}_vs_{rung_b}.json"
     data = json.loads(path.read_text()) if path.exists() else {
@@ -148,6 +160,7 @@ def run_protocol(rung_a: str, rung_b: str, sizes: list[int], *,
     data["sessions"].append({
         "when": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
         "rounds": rounds,
+        "tuned": tuned,
         "sizes": [dataclasses.asdict(r) for r in results],
     })
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -169,9 +182,11 @@ def main(argv=None):
     ap.add_argument("--p", type=int, nargs="+", default=[3584, 4096])
     ap.add_argument("--rounds", type=int, default=7)
     ap.add_argument("--tie-rel", type=float, default=0.005)
+    ap.add_argument("--tuned", action="store_true",
+                    help="consult outputs/autotune.json per rung/size")
     args = ap.parse_args(argv)
     run_protocol(args.a, args.b, args.p, rounds=args.rounds,
-                 tie_rel=args.tie_rel)
+                 tie_rel=args.tie_rel, tuned=args.tuned)
 
 
 if __name__ == "__main__":

@@ -59,6 +59,12 @@ class LlamaConfig:
     moe_dropless: bool = True
     moe_aux_weight: float = 0.01
     moe_ragged: bool = False
+    # ragged routing is COST-BASED (measured, round 3): below this many
+    # routed copies the dropless dispatch path runs instead (decode
+    # widths: dispatch hits the weight-stream roofline, the ragged
+    # layout's padding is pure overhead). None = auto (2 blocks per
+    # expert, 2*E*128); 0 forces ragged at every width (tests).
+    moe_ragged_min_tokens: int | None = None
 
     @property
     def d_head(self) -> int:
@@ -381,14 +387,28 @@ def _mlp(layer, cfg: LlamaConfig, y, use_pallas, lora=None):
         from how_to_optimize_gemm_tpu.parallel.moe import (
             moe_ffn_local, moe_ffn_ragged)
         b, s, d = y.shape
-        if cfg.moe_ragged:
+        # Cost-based ragged routing (measured, round 3, v5e): the
+        # grouped GEMM wins at prefill scale (int8 T=4096: 3.06 vs the
+        # dispatch path's 4.27 ms) but loses at decode widths, where
+        # both paths stream every expert's weights once and the ragged
+        # layout's E*bt padded rows + grid steps are pure overhead
+        # (batch 8 decode: dispatch 0.107 ms at 650 GB/s — the HBM
+        # roofline — vs ragged 0.196). Route ragged only when the
+        # routed copies fill >= 2 blocks per expert on average;
+        # the dispatch fallback keeps droplessness (cf = E/k).
+        min_tokens = (2 * cfg.n_experts * 128
+                      if cfg.moe_ragged_min_tokens is None
+                      else cfg.moe_ragged_min_tokens)
+        ragged_worth_it = b * s * cfg.moe_top_k >= min_tokens
+        if cfg.moe_ragged and ragged_worth_it:
             out, aux = moe_ffn_ragged(layer["moe"], y.reshape(b * s, d),
                                       k=cfg.moe_top_k, return_aux=True)
             return out.reshape(b, s, d), aux
         cf = cfg.moe_capacity
-        if cfg.moe_dropless:
+        if cfg.moe_dropless or cfg.moe_ragged:
             # per-chunk no-drop: routing independent of the co-batch
-            # (serving determinism — see LlamaConfig)
+            # (serving determinism — see LlamaConfig). The ragged
+            # path's decode-width fallback keeps its droplessness.
             cf = max(cf, cfg.n_experts / cfg.moe_top_k)
         out, aux = moe_ffn_local(layer["moe"], y.reshape(b * s, d),
                                  k=cfg.moe_top_k, capacity_factor=cf,

@@ -547,11 +547,20 @@ def main(argv=None):
             cache_dtype=jnp.bfloat16))
         ok = out == ref[:len(out)]
         tpv = stats.tokens_per_target_call
+        # break-even: a spec round costs t_round; it must emit at least
+        # t_round / t_plain tokens. Random-init truncated drafts accept
+        # ~0 (uncorrelated logits), so the end-to-end verdict on this
+        # sandbox depends on the draft — report the economics so a real
+        # distilled draft's accept rate can be priced directly.
+        t_round_ms = 1e3 * stats.tokens / max(tps, 1e-9) \
+            / max(stats.target_calls - 1, 1)
+        need = (1e-3 * t_round_ms) * plain_tps
         print(f"spec gamma={gamma} rounds={args.rounds} "
               f"draft={args.draft}: {tps:.1f} tok/s "
               f"({tps / plain_tps:.2f}x plain; accept rate "
               f"{stats.accept_rate:.2f}, {tpv:.2f} tok/verify, "
-              f"greedy-exact={ok})", flush=True)
+              f"greedy-exact={ok}); round={t_round_ms:.1f} ms -> "
+              f"wins iff E[tok/round] > {need:.2f}", flush=True)
 
 
 if __name__ == "__main__":

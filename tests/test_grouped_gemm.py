@@ -65,7 +65,10 @@ def test_llama_moe_ragged_decode_matches_dispatch():
     base = llama.LlamaConfig(vocab=64, d_model=32, n_layers=2, n_heads=4,
                              n_kv_heads=2, d_ff=128, max_seq=32,
                              weight_kind="fp32", n_experts=4)
-    ragged = dataclasses.replace(base, moe_ragged=True)
+    # min_tokens=0: force the grouped route at this tiny width (the
+    # measured auto-threshold would cost-route decode to dispatch)
+    ragged = dataclasses.replace(base, moe_ragged=True,
+                                 moe_ragged_min_tokens=0)
     params = llama.init_params(jax.random.PRNGKey(0), base)
     tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0,
                                 base.vocab)
@@ -187,7 +190,7 @@ def test_llama_requantize_int4_moe():
     cfg = llama.LlamaConfig(vocab=64, d_model=32, n_layers=2, n_heads=4,
                             n_kv_heads=2, d_ff=128, max_seq=16,
                             weight_kind="fp32", n_experts=4,
-                            moe_ragged=True)
+                            moe_ragged=True, moe_ragged_min_tokens=0)
     params = llama.init_params(jax.random.PRNGKey(0), cfg)
     q = llama.requantize(params, "w4a8")
     moe = q["layers"][0]["moe"]
