@@ -162,7 +162,8 @@ def _kernel_w4a8_noc_gemv(a_ref, w_ref, sa_ref, sw_ref, o_ref, acc_ref):
                     * sa_ref[:] * sw_ref[:])
 
 
-def choose_blocks_w4(m: int, n: int, kp: int) -> tuple[int, int, int]:
+def choose_blocks_w4(m: int, n: int, kp: int,
+                     ea: int = 1) -> tuple[int, int, int]:
     """512x512 C tile + the largest 512-multiple K strip (<= 4096) that
     divides the packed K — same reload-minimizing derivation as
     ``pallas_int8.mmult_q``'s chooser, validated on v5e: p=2048 full-K
@@ -178,7 +179,6 @@ def choose_blocks_w4(m: int, n: int, kp: int) -> tuple[int, int, int]:
         bm = bounds.round_up(max(m, 1), 32)
         bn = bounds._least_waste(bounds.round_up(n, 128), 8192, 128)
         return bm, bn, min(512, kp)
-    bm = min(bounds.round_up(m, 128), 512)
     bn = min(bounds.round_up(n, 128), 512)
     # largest 512-multiple DIVISOR of the packed K, capped at 4096 (the
     # packed layout can't be re-padded here, so bk must divide kp; a
@@ -190,7 +190,19 @@ def choose_blocks_w4(m: int, n: int, kp: int) -> tuple[int, int, int]:
         if kp % cand == 0:
             bk = cand
             break
-    return bm, bn, min(bk, kp)
+    bk = min(bk, kp)
+    # TALL least-waste A strips (round 3): the banked autotune run
+    # found bm=1792 at p=3584 worth +4.0% over the old 512 cap
+    # (360.5 vs 346.7 GFLOPS for the 07b rung — fewer B re-reads, the
+    # same lesson as pallas_int8.choose_blocks_bt). The cap is
+    # budget-derived so the double-buffered A strip stays inside the
+    # noc kernels' 24 MB scoped-VMEM ceiling for bf16 activations too
+    # (ea = activation bytes/elt: 1 for w4a8, 2 for W4A16).
+    budget = 14 * 1024 * 1024
+    cap_rows = max((budget // (2 * bk * ea)) // 128 * 128, 512)
+    bm = bounds._least_waste(bounds.round_up(m, 128),
+                             min(cap_rows, 1792), 128)
+    return bm, bn, bk
 
 
 @functools.partial(jax.jit,
@@ -207,7 +219,7 @@ def mmult_q_noc(a, packed, sw, *, bm: int | None = None,
     m = a.shape[0]
     n = packed.shape[1]
     kp = packed.shape[0] * 2
-    abm, abn, abk = choose_blocks_w4(m, n, kp)
+    abm, abn, abk = choose_blocks_w4(m, n, kp, ea=2)
     bm, bn, bk = bm or abm, bn or abn, bk or abk
     a = bounds.pad_dim(bounds.pad_dim(a, 0, bm), 1, kp)
     packed = bounds.pad_dim(packed, 1, bn)
@@ -269,7 +281,7 @@ def mmult_q(a, packed, sw, c, *, bm: int | None = None,
     """
     m, n = c.shape
     kp = packed.shape[0] * 2
-    abm, abn, abk = choose_blocks_w4(m, n, kp)
+    abm, abn, abk = choose_blocks_w4(m, n, kp, ea=2)
     bm, bn, bk = bm or abm, bn or abn, bk or abk
     a = bounds.pad_dim(bounds.pad_dim(a, 0, bm), 1, kp)
     packed = bounds.pad_dim(packed, 1, bn)
