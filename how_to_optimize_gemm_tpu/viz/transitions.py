@@ -95,12 +95,52 @@ def generate(outputs="outputs", save_dir="figures") -> list[str]:
     return written
 
 
+def generate_small(outputs="outputs/small",
+                   save_dir="figures") -> list[str]:
+    """The small-size regime chart (the reference sweeps its whole
+    ladder at 40..800, ``aarch64/parameters.h:5-7`` — the left half of
+    the curves is where grid overhead and pipeline ramp live). One
+    figure per dtype family over every rung with a committed small
+    sweep, plus the headline cross-family chart."""
+    out = pathlib.Path(outputs)
+    save = pathlib.Path(save_dir)
+    written: list[str] = []
+    fam_members: dict[str, list[pathlib.Path]] = {}
+    for name, family in LADDER_ORDER:
+        p = out / f"output_{name}.m"
+        if p.exists():
+            fam_members.setdefault(family, []).append(p)
+    for family, paths in fam_members.items():
+        if len(paths) < 2:
+            continue
+        dst = save / f"ladder_small_{family}.png"
+        plot_mfiles(paths, save=str(dst), roofline=family,
+                    title=f"{family} ladder, small sizes (128..896)")
+        written.append(str(dst))
+    headline = [out / f"output_{n}.m" for n in HEADLINE]
+    headline = [p for p in headline if p.exists()]
+    if len(headline) >= 2:
+        dst = save / "ladder_small_sizes.png"
+        plot_mfiles(headline, save=str(dst), roofline="int8",
+                    title="small-size regime: grid overhead & ramp")
+        written.append(str(dst))
+    return written
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--outputs", default="outputs")
     ap.add_argument("--save-dir", default="figures")
+    ap.add_argument("--small", action="store_true",
+                    help="generate the small-size regime charts from "
+                         "--outputs (default outputs/small)")
     args = ap.parse_args(argv)
-    written = generate(args.outputs, args.save_dir)
+    if args.small:
+        src = ("outputs/small" if args.outputs == "outputs"
+               else args.outputs)
+        written = generate_small(src, args.save_dir)
+    else:
+        written = generate(args.outputs, args.save_dir)
     print(f"{len(written)} figures")
 
 

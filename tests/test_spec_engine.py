@@ -88,3 +88,22 @@ def test_spec_engine_tail_fallback(params):
     eng = ServingEngine(cfg, params, batch_slots=2, use_pallas=False)
     done = eng.run_spec(mk(), cfg_d, params_d, gamma=4, rounds=4)
     assert [r.out for r in done] == ref
+
+
+def test_spec_engine_eos_and_short_max_new(params):
+    """EOS mid-round and max_new=1: completion bookkeeping must match
+    run()'s exactly (slots free, streams truncated identically)."""
+    cfg_d, params_d = _draft(params)
+    for eos in (None, 7, 13):
+        reqs = lambda: [Request(uid=0, prompt=[3, 5], max_new=1),
+                        Request(uid=1, prompt=[11, 2], max_new=9),
+                        Request(uid=2, prompt=[40, 41], max_new=5)]
+        plain = ServingEngine(CFG, params, batch_slots=2,
+                              use_pallas=False)
+        ref = [r.out for r in plain.run(reqs(), eos_id=eos)]
+        eng = ServingEngine(CFG, params, batch_slots=2,
+                            use_pallas=False)
+        done = eng.run_spec(reqs(), cfg_d, params_d, eos_id=eos,
+                            gamma=2, rounds=2)
+        assert [r.out for r in done] == ref, eos
+        assert all(r.done for r in done)
