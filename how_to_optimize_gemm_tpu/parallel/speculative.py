@@ -344,6 +344,153 @@ def reject_round(q_rows, xs, p_rows, key, base_pos: int):
     return list(xs) + [bonus], gamma
 
 
+def reject_round_device(q_rows, xs, p_rows, key, base_pos):
+    """jnp mirror of ``reject_round`` — the SAME fold_in streams and
+    draw discipline, traceable so the sampled variant can run whole
+    rounds on device. Returns (tokens (gamma+1,), a): ``tokens[:a+1]``
+    are the emitted tokens (accepted drafts + residual-or-bonus draw).
+    Token-exact vs the host math on identical float32 inputs
+    (tests/test_speculative.py)."""
+    gamma = xs.shape[0]
+    rows = jnp.arange(gamma)
+    pos = base_pos + rows
+    px = p_rows[rows, xs]
+    qx = q_rows[rows, xs]
+    us = jax.vmap(lambda p: jax.random.uniform(
+        jax.random.fold_in(jax.random.fold_in(key, p), 1)))(pos)
+    resid = jnp.maximum(p_rows[:gamma] - q_rows, 0.0)     # (gamma, V)
+    tot = jnp.sum(resid, axis=-1)
+    accept = (us < jnp.minimum(1.0, px / jnp.maximum(qx, 1e-38))) \
+        | (tot <= 0.0)                  # p == q: residual empty
+    a = jnp.argmin(jnp.concatenate([accept, jnp.zeros(1, bool)])
+                   ).astype(jnp.int32)  # first rejection, or gamma
+    # residual draw at the (possible) rejection index — distinct
+    # stream id 2 before the position key, exactly like reject_round
+    ar = jnp.minimum(a, gamma - 1)
+    resid_row = resid[ar] / jnp.maximum(tot[ar], 1e-38)
+    res_tok = jax.random.categorical(
+        jax.random.fold_in(jax.random.fold_in(key, 2), base_pos + ar),
+        jnp.log(resid_row.astype(jnp.float32) + 1e-38)).astype(
+        jnp.int32)
+    bonus = jax.random.categorical(
+        jax.random.fold_in(key, base_pos + gamma),
+        jnp.log(p_rows[gamma].astype(jnp.float32) + 1e-38)).astype(
+        jnp.int32)
+    last = jnp.where(a == gamma, bonus, res_tok)
+    tokens = jnp.concatenate([xs, jnp.zeros(1, jnp.int32)])
+    tokens = tokens.at[a].set(last)
+    return tokens, a
+
+
+def speculative_sample_device(cfg_t, params_t, cfg_d, params_d, prompt,
+                              n_new: int, gamma: int = 4,
+                              rounds: int = 8, key=None,
+                              temperature: float = 1.0, top_k: int = 0,
+                              top_p: float = 0.0,
+                              use_pallas: bool | None = None,
+                              cache_dtype=jnp.float32
+                              ) -> tuple[list[int], SpecStats]:
+    """Device-looped SAMPLED speculative decoding: rejection sampling
+    (reject_round_device) with whole rounds per dispatch — the sampled
+    counterpart of speculative_decode_device. Emitted stream is
+    distributed exactly as target-only positional-keyed ancestral
+    sampling (bit-exact when draft == target, since every accept test
+    passes and every draw shares ancestral_sample's fold_in(key, pos)
+    stream — tested)."""
+    from how_to_optimize_gemm_tpu.parallel.serving import filter_logits
+    assert cfg_t.vocab == cfg_d.vocab, "draft must share the vocab"
+    key = jax.random.PRNGKey(0) if key is None else key
+    prompt = np.asarray(prompt, np.int32)
+    stats = SpecStats()
+
+    def probs(logits):
+        return jax.nn.softmax(filter_logits(logits, temperature, top_k,
+                                            top_p), axis=-1)
+
+    t_logits, t_cache = _prefill(cfg_t, params_t, prompt, use_pallas,
+                                 cache_dtype)
+    _, d_cache = _prefill(cfg_d, params_d, prompt, use_pallas,
+                          cache_dtype)
+    stats.target_calls += 1
+    stats.draft_calls += 1
+
+    n = len(prompt)
+    pending = int(jax.random.categorical(
+        jax.random.fold_in(key, n),
+        jnp.log(probs(t_logits[0]) + 1e-38)))
+    out: list[int] = [pending]
+    stats.tokens += 1
+    prev = int(prompt[-1])
+
+    @functools.partial(jax.jit, donate_argnums=(2, 3))
+    def block(params_t, params_d, t_cache, d_cache, prev, pending, n):
+        def round_fn(carry, _):
+            t_cache, d_cache, prev, pending, n = carry
+            feed = jnp.stack([prev, pending])[None]
+            lg, d_cache = llama.decode_step(
+                params_d, cfg_d, d_cache, feed, n - 1,
+                use_pallas=use_pallas)
+            q0 = probs(lg[0, -1])
+            x0 = jax.random.categorical(
+                jax.random.fold_in(key, n + 1),
+                jnp.log(q0 + 1e-38)).astype(jnp.int32)
+
+            def dstep(c, j):
+                cache, tok, pos = c
+                lg, cache = llama.decode_step(
+                    params_d, cfg_d, cache, tok[None, None], pos,
+                    use_pallas=use_pallas)
+                q = probs(lg[0, -1])
+                nxt = jax.random.categorical(
+                    jax.random.fold_in(key, pos + 1),
+                    jnp.log(q + 1e-38)).astype(jnp.int32)
+                return (cache, nxt, pos + 1), (q, nxt)
+
+            (d_cache, _, _), (q_rest, x_rest) = jax.lax.scan(
+                dstep, (d_cache, x0, n + 1), jnp.arange(gamma - 1))
+            q_rows = jnp.concatenate([q0[None], q_rest])   # (gamma, V)
+            xs = jnp.concatenate([x0[None], x_rest])       # (gamma,)
+
+            chain = jnp.concatenate([jnp.asarray([pending]), xs])[None]
+            v_logits, t_cache = llama.decode_step(
+                params_t, cfg_t, t_cache, chain, n,
+                use_pallas=use_pallas)
+            p_rows = probs(v_logits[0])                # (gamma+1, V)
+
+            tokens, a = reject_round_device(q_rows, xs, p_rows, key,
+                                            n + 1)
+            prev_n = jnp.where(a > 0, tokens[jnp.maximum(a - 1, 0)],
+                               pending)
+            return ((t_cache, d_cache, prev_n, tokens[a], n + a + 1),
+                    (tokens, a))
+
+        (t_cache, d_cache, prev, pending, n), (toks, accepts) = \
+            jax.lax.scan(round_fn,
+                         (t_cache, d_cache, prev, pending, n),
+                         None, length=rounds)
+        return t_cache, d_cache, prev, pending, n, toks, accepts
+
+    prev = jnp.int32(prev)
+    pending_j = jnp.int32(pending)
+    n_j = jnp.int32(n)
+    max_adv = rounds * (gamma + 1)
+    while len(out) < n_new and n + max_adv + gamma + 1 < cfg_t.max_seq:
+        t_cache, d_cache, prev, pending_j, n_j, toks, accepts = block(
+            params_t, params_d, t_cache, d_cache, prev, pending_j, n_j)
+        toks = np.asarray(toks)
+        accepts = np.asarray(accepts)
+        stats.target_calls += rounds
+        stats.draft_calls += rounds * gamma
+        for r in range(rounds):
+            a = int(accepts[r])
+            emitted = toks[r, :a + 1].tolist()
+            stats.accepted += a
+            out.extend(emitted)
+            stats.tokens += len(emitted)
+        n = int(n_j)
+    return out[:n_new], stats
+
+
 def ancestral_sample(cfg, params, prompt, n_new: int, key=None,
                      temperature: float = 1.0, top_k: int = 0,
                      top_p: float = 0.0,

@@ -2,6 +2,7 @@
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -179,3 +180,65 @@ def test_spec_device_self_draft_amortizes(target):
                                            rounds=2)
     assert out == greedy_decode(CFG, target, prompt, 24)
     assert stats.accept_rate > 0.9
+
+
+def test_reject_round_device_matches_host():
+    """The jnp rejection round mirrors the host math stream-for-stream:
+    identical float32 inputs -> identical emitted tokens."""
+    from how_to_optimize_gemm_tpu.parallel.speculative import (
+        reject_round, reject_round_device)
+    rng = np.random.default_rng(0)
+    v, gamma = 13, 3
+    for case in range(150):
+        q = rng.random((gamma, v), np.float32)
+        q /= q.sum(-1, keepdims=True)
+        p = rng.random((gamma + 1, v), np.float32)
+        p /= p.sum(-1, keepdims=True)
+        if case % 3 == 0:
+            p[:gamma] = q          # residual-empty branch
+        xs = rng.integers(0, v, gamma).astype(np.int32)
+        key = jax.random.PRNGKey(case)
+        base = int(rng.integers(0, 50))
+        emitted, a = reject_round(q.astype(np.float64), list(xs),
+                                  p.astype(np.float64), key, base)
+        toks_d, a_d = reject_round_device(jnp.asarray(q),
+                                          jnp.asarray(xs),
+                                          jnp.asarray(p), key, base)
+        assert int(a_d) == a, case
+        assert np.asarray(toks_d)[:a + 1].tolist() == emitted, case
+
+
+def test_spec_sample_device_self_draft_is_ancestral(target):
+    """Self-draft through the device-looped sampled variant: every
+    accept test passes and every draw shares ancestral_sample's
+    positional key stream -> bit-identical output."""
+    from how_to_optimize_gemm_tpu.parallel.speculative import (
+        ancestral_sample, speculative_sample_device)
+    prompt = np.arange(1, 9) % CFG.vocab
+    key = jax.random.PRNGKey(11)
+    ref = ancestral_sample(CFG, target, prompt, 20, key=key,
+                           temperature=0.9, top_k=8)
+    out, stats = speculative_sample_device(
+        CFG, target, CFG, target, prompt, 20, gamma=3, rounds=2,
+        key=key, temperature=0.9, top_k=8)
+    assert out == ref
+    assert stats.accept_rate > 0.9
+
+
+def test_spec_sample_device_bad_draft_valid(target):
+    """A mismatched draft: output stays inside the filtered support and
+    the machinery runs (distributional exactness is reject_round's
+    theorem, unit-tested above and in the host variant's tests)."""
+    import dataclasses as dc
+
+    from how_to_optimize_gemm_tpu.parallel.speculative import (
+        speculative_sample_device)
+    cfg_d = dc.replace(CFG, n_layers=1)
+    draft = llama.init_params(jax.random.PRNGKey(3), cfg_d)
+    out, stats = speculative_sample_device(
+        CFG, target, cfg_d, draft, np.arange(3, 11) % CFG.vocab, 16,
+        gamma=2, rounds=2, key=jax.random.PRNGKey(5), temperature=1.0,
+        top_k=12)
+    assert len(out) == 16
+    assert all(0 <= t < CFG.vocab for t in out)
+    assert stats.tokens >= 16
