@@ -491,7 +491,7 @@ class ServingEngine:
         cfg = self.cfg
         use_pallas = self.use_pallas
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
         def block(params_t, params_d, t_cache, d_cache, prev, pending,
                   pos, table=None):
             b = prev.shape[0]
@@ -547,16 +547,110 @@ class ServingEngine:
 
         return block
 
+    def _spec_block_sampled(self, cfg_d, gamma: int, rounds: int,
+                            temperature: float, top_k: int,
+                            top_p: float, base_key):
+        """Sampled counterpart of _spec_block: rejection sampling
+        (speculative.reject_round_device, vmapped over slots) with
+        PER-REQUEST positional key streams — token i of request uid is
+        always drawn with fold_in(fold_in(base, uid), i), so the
+        emitted stream is independent of batching, window grouping, AND
+        preemption/resume (the recompute invariant extends to sampled
+        serving)."""
+        from how_to_optimize_gemm_tpu.parallel.speculative import (
+            reject_round_device)
+        cfg = self.cfg
+        use_pallas = self.use_pallas
+
+        def probs(logits):
+            return jax.nn.softmax(
+                filter_logits(logits, temperature, top_k, top_p),
+                axis=-1)
+
+        def draw(keys, pos, q):
+            # (B,) tokens: per-slot positional categorical
+            return jax.vmap(lambda k, p, qq: jax.random.categorical(
+                jax.random.fold_in(k, p),
+                jnp.log(qq + 1e-38)))(keys, pos, q).astype(jnp.int32)
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def block(params_t, params_d, t_cache, d_cache, prev, pending,
+                  pos, uids, table=None):
+            b = prev.shape[0]
+            keys = jax.vmap(lambda u: jax.random.fold_in(base_key, u))(
+                uids)
+
+            def round_fn(carry, _):
+                t_cache, d_cache, prev, pending, pos = carry
+                feed = jnp.stack([prev, pending], axis=1)
+                lg, d_cache = llama.decode_step(
+                    params_d, cfg_d, d_cache, feed, pos - 1,
+                    use_pallas=use_pallas)
+                q0 = probs(lg[:, -1])
+                x0 = draw(keys, pos + 1, q0)
+
+                def dstep(c, _):
+                    cache, tok, p = c
+                    lg, cache = llama.decode_step(
+                        params_d, cfg_d, cache, tok[:, None], p,
+                        use_pallas=use_pallas)
+                    q = probs(lg[:, -1])
+                    nxt = draw(keys, p + 1, q)
+                    return (cache, nxt, p + 1), (q, nxt)
+
+                (d_cache, _, _), (q_rest, x_rest) = jax.lax.scan(
+                    dstep, (d_cache, x0, pos + 1), None,
+                    length=gamma - 1)
+                q_rows = jnp.moveaxis(
+                    jnp.concatenate([q0[None], q_rest]), 0, 1)
+                xs = jnp.concatenate([x0[None], x_rest]).T  # (B, gamma)
+
+                chain = jnp.concatenate([pending[:, None], xs], axis=1)
+                v_logits, t_cache = llama.decode_step(
+                    params_t, cfg, t_cache, chain, pos,
+                    use_pallas=use_pallas, table=table)
+                p_rows = probs(v_logits)            # (B, gamma+1, V)
+
+                toks, a = jax.vmap(reject_round_device)(
+                    q_rows, xs, p_rows, keys, pos + 1)
+                rows = jnp.arange(b)
+                prev_n = jnp.where(a > 0,
+                                   toks[rows, jnp.maximum(a - 1, 0)],
+                                   pending)
+                return ((t_cache, d_cache, prev_n, toks[rows, a],
+                         pos + a + 1), (toks, a))
+
+            (t_cache, d_cache, prev, pending, pos), (toks, accepts) = \
+                jax.lax.scan(round_fn,
+                             (t_cache, d_cache, prev, pending, pos),
+                             None, length=rounds)
+            return (t_cache, d_cache, prev, pending, pos,
+                    toks, accepts)
+
+        return block
+
     def run_spec(self, requests: list[Request], cfg_d, params_d,
                  eos_id: int | None = None, gamma: int = 4,
-                 rounds: int = 4) -> list[Request]:
+                 rounds: int = 4, temperature: float = 0.0,
+                 top_k: int = 0, top_p: float = 0.0,
+                 key=None) -> list[Request]:
         """Serve with SPECULATIVE decoding under continuous batching:
         a draft model proposes gamma tokens per round, the target
         verifies whole chains, and ``rounds`` rounds for all slots run
-        per dispatch. The greedy token stream is IDENTICAL to
-        ``run()``'s (asserted in tests) — draft quality changes speed,
-        never output. Greedy only (the engine's exactness contract);
-        LoRA not composed with spec mode.
+        per dispatch.
+
+        temperature <= 0 (default): GREEDY — the token stream is
+        IDENTICAL to ``run()``'s (asserted in tests); draft quality
+        changes speed, never output. temperature > 0: SAMPLED —
+        Leviathan rejection sampling on device
+        (speculative.reject_round_device) with PER-REQUEST positional
+        key streams (fold_in(fold_in(key, uid), position)), so each
+        request's stream is distributed as target-only ancestral
+        sampling at (temperature, top_k, top_p) and is REPRODUCIBLE
+        across batching, round grouping, and preemption/resume. The
+        admission-time first token still comes from the engine's own
+        sampler — configure it to matching settings. LoRA not composed
+        with spec mode.
 
         The draft keeps its own contiguous bf16 cache and re-prefills
         each admitted prompt in full (prefix-cache hits apply to the
@@ -568,7 +662,14 @@ class ServingEngine:
         assert cfg_d.vocab == self.cfg.vocab, "draft must share vocab"
         d_cache = llama.init_kv_cache(cfg_d, self.batch,
                                       dtype=jnp.float32)
-        block = self._spec_block(cfg_d, gamma, rounds)
+        sampled = temperature > 0
+        if sampled:
+            base_key = jax.random.PRNGKey(0) if key is None else key
+            block = self._spec_block_sampled(cfg_d, gamma, rounds,
+                                             temperature, top_k, top_p,
+                                             base_key)
+        else:
+            block = self._spec_block(cfg_d, gamma, rounds)
 
         @jax.jit
         def draft_prefill(params_d, d_cache, tokens, pos, write_mask):
@@ -642,11 +743,16 @@ class ServingEngine:
                     continue
             table = (jnp.asarray(self.table_np) if self.paged
                      else None)
+            args = (self.params, params_d, self.cache, d_cache,
+                    jnp.asarray(prev_tok), jnp.asarray(self.slot_tok),
+                    jnp.asarray(self.slot_pos))
+            if sampled:
+                uids = np.asarray(
+                    [self.slot_req[s].uid if self.slot_req[s] else 0
+                     for s in range(self.batch)], np.int32)
+                args = args + (jnp.asarray(uids),)
             (self.cache, d_cache, prev_j, pend_j, pos_j, toks,
-             accepts) = block(
-                self.params, params_d, self.cache, d_cache,
-                jnp.asarray(prev_tok), jnp.asarray(self.slot_tok),
-                jnp.asarray(self.slot_pos), table)
+             accepts) = block(*args, table)
             toks = np.asarray(toks)          # (rounds, B, gamma+1)
             accepts = np.asarray(accepts)    # (rounds, B)
             prev_np = np.asarray(prev_j)

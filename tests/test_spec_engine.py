@@ -107,3 +107,38 @@ def test_spec_engine_eos_and_short_max_new(params):
                             gamma=2, rounds=2)
         assert [r.out for r in done] == ref, eos
         assert all(r.done for r in done)
+
+
+def test_spec_engine_sampled_round_invariance(params):
+    """Sampled spec serving: per-request positional key streams make
+    the emitted stream independent of round grouping (and distributed
+    as ancestral sampling — reject_round_device's theorem). Self-draft:
+    near-total acceptance; rounds=1 and rounds=3 must emit identical
+    streams."""
+    import jax as _jax
+
+    from how_to_optimize_gemm_tpu.parallel.serving import make_sampler
+    outs = []
+    for rounds in (1, 3):
+        eng = ServingEngine(CFG, params, batch_slots=2,
+                            use_pallas=False,
+                            sample=make_sampler(0.8, top_k=8))
+        done = eng.run_spec(_reqs(max_new=10), CFG, params,
+                            gamma=2, rounds=rounds, temperature=0.8,
+                            top_k=8, key=_jax.random.PRNGKey(42))
+        outs.append([r.out for r in done])
+        assert all(r.done for r in done)
+        assert all(0 <= t < CFG.vocab for o in outs[-1] for t in o)
+    assert outs[0] == outs[1]
+
+
+def test_spec_engine_sampled_bad_draft_runs(params):
+    """Mismatched draft under sampled spec serving: valid tokens,
+    everything completes (distribution is the rejection theorem's)."""
+    from how_to_optimize_gemm_tpu.parallel.serving import make_sampler
+    cfg_d, params_d = _draft(params)
+    eng = ServingEngine(CFG, params, batch_slots=2, use_pallas=False,
+                        sample=make_sampler(1.0, top_k=12))
+    done = eng.run_spec(_reqs(max_new=8), cfg_d, params_d, gamma=3,
+                        rounds=2, temperature=1.0, top_k=12)
+    assert all(r.done and len(r.out) == 8 for r in done)
