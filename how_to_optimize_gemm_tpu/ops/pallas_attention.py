@@ -234,8 +234,19 @@ def flash_attention_packed(q, k, v, *, causal: bool = True,
     contraction depth at exactly 2x the MACs. Useful throughput wins
     iff the MXU's depth-64 rate is BELOW HALF its depth-128 rate
     (probes.mxu_depth_gflops measures exactly this) — otherwise the
-    zero MACs cost what the idle depth did and this view is neutral;
-    the chained A/B records the verdict either way.
+    zero MACs cost what the idle depth did and this view is neutral.
+
+    MEASURED VERDICT (round 3, v5e): an honest NEGATIVE, kept like
+    rungs 03b/12/13. The depth probe reads 74.8 TF at depth 64 vs
+    147.5 at depth 128 — EXACTLY half (50.8%), so the MXU already pads
+    short contractions to native depth and the packing is provably
+    neutral in pure dot terms; the view's own overheads (band
+    construction, double-width K/V strips, 2x PV MACs) then make it a
+    straight loss in the chained A/B (B=8 H=32 KVH=4 d=64, causal:
+    27.1 vs 37.8 useful TF at S=2048, 38.1 vs 47.7 at S=4096, 47.2 vs
+    54.1 at S=8192; outputs bit-identical). The probe docstring's
+    prediction stands: the only true depth lever is head geometry
+    (d=128 models). mha_flash therefore never auto-routes here.
 
     Implementation is a pure VIEW over the unmodified streaming kernel:
     with KVH even, q (B, H, S, 64) -> (B, H, S, 128) banded, k/v
@@ -269,12 +280,13 @@ def mha_flash(q, k, v, *, causal: bool = True,
 
     pack_heads routes d=64 even-kvh models through the head-packed
     view (flash_attention_packed). None = auto: MEASURED OFF — the
-    round-3 chained A/B (B=8 H=32 KVH=4 d=64, S=2048/4096/8192, chip)
-    decides; see flash_attention_packed's docstring for the verdict."""
+    round-3 chained A/B lost at every S (the MXU's depth-64 rate is
+    exactly half its depth-128 rate, so the 2x-MAC packing is neutral
+    before its own overheads; see flash_attention_packed)."""
     b, s, h, d = q.shape
     packable = d == 64 and k.shape[2] % 2 == 0
     if pack_heads is None:
-        pack_heads = False      # flip iff the chip A/B shows a win
+        pack_heads = False      # measured: packing loses at every S
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
