@@ -11,9 +11,14 @@
 #   make native
 
 #   make tune NEW=14_packed_alias_int8 P=4096
+#   make ab A=14_packed_alias_int8 B=06v_xla_int8   (interleaved protocol)
+#   make moe-bench
+#   make figures / make figures-small   (regenerate the visual record)
 
 OLD ?= 01_xla_fp32
 NEW ?= 05_pallas_bf16
+A ?= 14_packed_alias_int8
+B ?= 06v_xla_int8
 SWEEP ?= --quick
 OUT ?= outputs
 P ?= 4096
@@ -43,4 +48,17 @@ tune:
 	python -u -m how_to_optimize_gemm_tpu.harness.autotune \
 	  --rung $(NEW) --p $(P)
 
-.PHONY: run plot probes test bench native tune
+ab:
+	python -u -m how_to_optimize_gemm_tpu.harness.ab --a $(A) --b $(B)
+
+moe-bench:
+	python -u -m how_to_optimize_gemm_tpu.parallel.moe_bench
+
+figures:
+	python -m how_to_optimize_gemm_tpu.viz.transitions
+
+figures-small:
+	python -m how_to_optimize_gemm_tpu.viz.transitions --small
+
+.PHONY: run plot probes test bench native tune ab moe-bench figures \
+	figures-small
