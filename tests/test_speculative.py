@@ -242,3 +242,31 @@ def test_spec_sample_device_bad_draft_valid(target):
     assert len(out) == 16
     assert all(0 <= t < CFG.vocab for t in out)
     assert stats.tokens >= 16
+
+
+def test_windowed_decode_matches_greedy(target):
+    """The plain-decode A/B baseline must itself be exact: windowed
+    blocks emit the same stream as step-by-step greedy decoding."""
+    from how_to_optimize_gemm_tpu.parallel.speculative import (
+        windowed_greedy_decode)
+    prompt = np.arange(5, 13) % CFG.vocab
+    ref = greedy_decode(CFG, target, prompt, 20)
+    for window in (1, 8):
+        assert windowed_greedy_decode(CFG, target, prompt, 20,
+                                      window=window) == ref, window
+
+
+def test_truncated_draft_shares_weights(target):
+    from how_to_optimize_gemm_tpu.parallel.speculative import (
+        truncated_draft)
+    cfg_d, params_d = truncated_draft(CFG, target, 1)
+    assert cfg_d.n_layers == 1
+    assert params_d["layers"][0] is target["layers"][0]
+    assert params_d["embed"] is target["embed"]
+    # it runs and proposes (exactness with ANY draft is the other tests)
+    from how_to_optimize_gemm_tpu.parallel.speculative import (
+        speculative_decode_device)
+    out, _ = speculative_decode_device(CFG, target, cfg_d, params_d,
+                                       np.arange(1, 7), 8, gamma=2,
+                                       rounds=1)
+    assert len(out) == 8
