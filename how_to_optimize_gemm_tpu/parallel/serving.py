@@ -118,7 +118,8 @@ class ServingEngine:
                  cache_pages: int | None = None,
                  prefix_cache: bool = False,
                  lora: dict | None = None,
-                 alloc_backend: str = "py"):
+                 alloc_backend: str = "py",
+                 prefill_chunk: int | None = None):
         """paged=True swaps the contiguous per-slot cache for a shared
         page pool + block table (ops/pallas_paged_attention): cache HBM
         tracks tokens that exist, not slots x max_seq. page = tokens per
@@ -144,9 +145,19 @@ class ServingEngine:
         alloc_backend: "py" (default) or "native" — which paged-KV
         allocator backend manages the page pool / prefix index
         (parallel/kv_alloc.py; "native" is the C++ tier,
-        csrc/paged_alloc.cpp, parity-tested against "py")."""
+        csrc/paged_alloc.cpp, parity-tested against "py").
+
+        prefill_chunk: CHUNKED PREFILL — admit prompts in fixed
+        C-token chunks through the cached-attention path (the suffix
+        machinery prefix caching already uses) instead of one
+        power-of-2-bucketed dispatch per admission. ONE compiled
+        prefill shape serves every prompt length, and eager-path score
+        memory is bounded at (B, C, max_seq) instead of
+        (B, P, max_seq). None (default) keeps whole-prompt admission;
+        the token stream is identical either way (tested)."""
         self.cfg = cfg
         self.batch = batch_slots
+        self.prefill_chunk = prefill_chunk
         if mesh is not None:
             from how_to_optimize_gemm_tpu.parallel.sharding import (
                 shard_params)
@@ -328,6 +339,49 @@ class ServingEngine:
         return True
 
     # ------------------------------------------------------------- admin
+    def _dispatch_prefill(self, group, table):
+        """Prefill one admission group -> {slot: (logits, sample_idx)}.
+
+        group: [(slot, req, start)] — start 0 for fresh prompts, the
+        attached-prefix length for prefix-cache hits. Whole-prompt by
+        default (one power-of-2-bucketed dispatch, exactly the round-2
+        behavior); with ``prefill_chunk=C`` every prompt streams
+        through in fixed C-token chunks (chunk 0 of all-fresh groups
+        keeps the flash self-attention path; later chunks ride the
+        cached path that prefix-cache suffixes already use), so ONE
+        compiled shape serves every prompt length."""
+        lens = [(s, req, start,
+                 len(req.prompt) + len(req.out) - start)
+                for s, req, start in group]
+        longest = max(n for _, _, _, n in lens)
+        c = min(self.prefill_chunk
+                or self._bucket(longest), self.cfg.max_seq)
+        logits_of: dict[int, tuple] = {}
+        for j in range(-(-longest // c)):
+            tokens = np.zeros((self.batch, c), np.int32)
+            pos = self.slot_pos.copy()
+            mask = np.zeros(self.batch, bool)
+            self_attn = True
+            for s, req, start, n in lens:
+                if n <= j * c:
+                    continue
+                seg = (req.prompt + req.out)[start + j * c:
+                                             start + (j + 1) * c]
+                tokens[s, :len(seg)] = seg
+                pos[s] = start + j * c
+                mask[s] = True
+                if start + j * c > 0:
+                    self_attn = False
+            fn = self._prefill if self_attn else self._prefill_at
+            logits, self.cache = fn(
+                self.params, self.cache, jnp.asarray(tokens),
+                jnp.asarray(pos), jnp.asarray(mask), table,
+                lora=self.lora, lora_idx=self._lora_idx())
+            for s, req, start, n in lens:
+                if (n - 1) // c == j:
+                    logits_of[s] = (logits, (n - 1) % c)
+        return logits_of
+
     @staticmethod
     def _bucket(n: int) -> int:
         """Pad prompt lengths to powers of two: one compiled prefill per
@@ -401,51 +455,14 @@ class ServingEngine:
             return
         table = jnp.asarray(self.table_np) if self.paged else None
         logits_of: dict[int, tuple] = {}   # slot -> (logits, sample idx)
-        fresh = [(s, r) for s, r, pfx in admitted if pfx == 0]
+        fresh = [(s, r, 0) for s, r, pfx in admitted if pfx == 0]
         hits = [(s, r, pfx) for s, r, pfx in admitted if pfx > 0]
         if fresh:
-            bucket = min(self._bucket(max(len(r.prompt) + len(r.out)
-                                          for _, r in fresh)),
-                         self.cfg.max_seq)
-            tokens = np.zeros((self.batch, bucket), np.int32)
-            pos = self.slot_pos.copy()
-            write_mask = np.zeros(self.batch, bool)
-            for s, req in fresh:
-                full = req.prompt + req.out
-                tokens[s, :len(full)] = full
-                pos[s] = 0
-                write_mask[s] = True
-            prefill_args = (self.params, self.cache, jnp.asarray(tokens),
-                            jnp.asarray(pos), jnp.asarray(write_mask),
-                            table if self.paged else None)
-            logits, self.cache = self._prefill(
-                *prefill_args, lora=self.lora,
-                lora_idx=self._lora_idx())
-            for s, req in fresh:
-                logits_of[s] = (logits,
-                                len(req.prompt) + len(req.out) - 1)
+            logits_of.update(self._dispatch_prefill(fresh, table))
         if hits:
-            # suffix prefill: tokens from the first uncached position,
-            # pos = the attached prefix length (generic cached-attention
-            # path; one dispatch for all hit slots)
-            bucket = min(self._bucket(max(
-                len(r.prompt) + len(r.out) - pfx
-                for _, r, pfx in hits)), self.cfg.max_seq)
-            tokens = np.zeros((self.batch, bucket), np.int32)
-            pos = self.slot_pos.copy()
-            write_mask = np.zeros(self.batch, bool)
-            for s, req, pfx in hits:
-                suffix = (req.prompt + req.out)[pfx:]
-                tokens[s, :len(suffix)] = suffix
-                pos[s] = pfx
-                write_mask[s] = True
-            logits, self.cache = self._prefill_at(
-                self.params, self.cache, jnp.asarray(tokens),
-                jnp.asarray(pos), jnp.asarray(write_mask), table,
-                lora=self.lora, lora_idx=self._lora_idx())
-            for s, req, pfx in hits:
-                logits_of[s] = (logits,
-                                len(req.prompt) + len(req.out) - pfx - 1)
+            # suffix prefill from the first uncached position (generic
+            # cached-attention path)
+            logits_of.update(self._dispatch_prefill(hits, table))
         if self.paged and self.prefix_cache:
             # register this batch's fully-prompt-covered pages (decode
             # never writes them: it starts past the last full page) —

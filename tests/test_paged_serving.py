@@ -202,3 +202,36 @@ def test_paged_tokens_per_sec_runs(params):
     tps = decode_tokens_per_sec(CFG, params, batch=2, steps=4,
                                 use_pallas=False, paged=True)
     assert tps > 0
+
+
+@pytest.mark.parametrize("chunk", [4, 8, 64])
+def test_chunked_prefill_matches_whole_prompt(params, chunk):
+    """prefill_chunk streams admission through fixed C-token chunks —
+    the greedy stream must equal whole-prompt admission exactly, for
+    chunks smaller, equal to, and larger than the prompts."""
+    prompts = [[3, 5, 7, 9, 2, 4, 6, 1, 8], [11, 2], list(range(1, 14))]
+    ref = _contiguous_outputs(params, prompts, 6)
+    reqs = [Request(uid=i, prompt=list(p), max_new=6)
+            for i, p in enumerate(prompts)]
+    eng = ServingEngine(CFG, params, batch_slots=2, use_pallas=False,
+                        prefill_chunk=chunk)
+    assert [r.out for r in eng.run(reqs)] == ref
+
+
+def test_chunked_prefill_with_prefix_cache(params):
+    """Chunked admission composes with prefix-cache suffix prefill and
+    the paged pool (mixed hit+fresh admission batch)."""
+    shared = list(range(1, 17))
+    prompts = [shared + [20], [40, 41, 42], shared + [30]]
+    plain = ServingEngine(CFG, params, batch_slots=2, use_pallas=False,
+                          paged=True, page=8)
+    ref = [r.out for r in plain.run(
+        [Request(uid=i, prompt=list(p), max_new=4)
+         for i, p in enumerate(prompts)])]
+    eng = ServingEngine(CFG, params, batch_slots=2, use_pallas=False,
+                        paged=True, page=8, prefix_cache=True,
+                        prefill_chunk=8)
+    done = eng.run([Request(uid=i, prompt=list(p), max_new=4)
+                    for i, p in enumerate(prompts)])
+    assert [r.out for r in done] == ref
+    assert eng.prefix_hit_tokens >= 16
