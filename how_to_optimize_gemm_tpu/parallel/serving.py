@@ -852,6 +852,28 @@ class ServingEngine:
         The greedy token stream is IDENTICAL for any window (sampled
         streams stay correct but draw keys in a different order); only
         the host round-trip count changes."""
+        for _ in self._run_steps(requests, eos_id, window):
+            pass
+        return requests
+
+    def run_stream(self, requests: list[Request],
+                   eos_id: int | None = None, window: int = 8):
+        """Streaming form of run(): a generator yielding (uid, token)
+        as tokens are produced — the serving front-end's SSE loop.
+        Tokens arrive in per-request order, batched at dispatch
+        granularity (one window's worth per engine step); the combined
+        stream equals run()'s .out exactly (tested)."""
+        seen = {r.uid: 0 for r in requests}
+        for _ in self._run_steps(requests, eos_id, window):
+            for r in requests:
+                while seen[r.uid] < len(r.out):
+                    yield r.uid, r.out[seen[r.uid]]
+                    seen[r.uid] += 1
+
+    def _run_steps(self, requests: list[Request],
+                   eos_id: int | None = None, window: int = 8):
+        """run()'s engine loop as a generator: yields after admission
+        and after every decode dispatch (the streaming hook)."""
         import time as _time
         queue = list(requests)
         now = _time.perf_counter()
@@ -859,6 +881,7 @@ class ServingEngine:
             r.t_submit = now
         self._eos_id = eos_id
         self._admit(queue)
+        yield
         while any(r is not None for r in self.slot_req):
             active_pos = [int(self.slot_pos[s]) for s in range(self.batch)
                           if self.slot_req[s] is not None]
@@ -918,7 +941,7 @@ class ServingEngine:
                         break
                     self.slot_tok[s] = tok
             self._admit(queue)
-        return requests
+            yield
 
 
 def decode_tokens_per_sec(cfg, params, batch: int = 8, steps: int = 32,

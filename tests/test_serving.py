@@ -242,3 +242,28 @@ def test_serving_cli_moe_smoke(capsys):
                   "--eager"])
     out = capsys.readouterr().out
     assert "decode tokens/s" in out
+
+
+def test_run_stream_equals_run():
+    """The streaming generator yields every request's tokens in order
+    and the combined result equals run()'s batch output."""
+    import jax
+
+    from how_to_optimize_gemm_tpu.models import llama
+    from how_to_optimize_gemm_tpu.parallel.serving import (Request,
+                                                           ServingEngine)
+    cfg = llama.LlamaConfig(vocab=64, d_model=64, n_layers=2, n_heads=4,
+                            n_kv_heads=2, d_ff=128, max_seq=64,
+                            weight_kind="fp32")
+    params = llama.init_params(jax.random.PRNGKey(7), cfg)
+    prompts = [[3, 5, 7], [11, 2], [9, 9, 9, 9]]
+    mk = lambda: [Request(uid=i, prompt=list(p), max_new=6)
+                  for i, p in enumerate(prompts)]
+    ref_eng = ServingEngine(cfg, params, batch_slots=2,
+                            use_pallas=False)
+    ref = {r.uid: r.out for r in ref_eng.run(mk())}
+    eng = ServingEngine(cfg, params, batch_slots=2, use_pallas=False)
+    streamed: dict[int, list[int]] = {}
+    for uid, tok in eng.run_stream(mk(), window=4):
+        streamed.setdefault(uid, []).append(tok)
+    assert streamed == ref
