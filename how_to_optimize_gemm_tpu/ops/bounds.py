@@ -46,8 +46,15 @@ def _least_waste(n: int, cap: int, step: int) -> int:
 
     A naive min(round_up(n, step), cap) pads e.g. N=11008 (Llama-2-7B's
     d_ff) up to 16384 when capped at 8192 — 49% wasted compute on every
-    MLP linear. Ties break toward the larger block."""
+    MLP linear. Ties break toward the larger block.
+
+    cap is floored to a step multiple first: range(cap, 0, -step) from
+    an UNALIGNED cap walks unaligned candidates (round 3: rung 04's
+    capacity halving produced cap=320 at p=640, this returned 320, and
+    Mosaic rejected the non-128-multiple block — caught by the
+    small-size sweep)."""
     n = max(n, 1)
+    cap = max(cap // step * step, step)
     best_waste, best = None, step
     for cand in range(cap, 0, -step):
         waste = -n % cand

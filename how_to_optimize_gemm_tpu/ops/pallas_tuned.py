@@ -50,16 +50,21 @@ def choose_blocks(m: int, n: int, k: int, in_bytes: int = 4):
                    + 2 * bm * bn * (4 + in_bytes))
         return working <= VMEM_BUDGET
 
+    def half(x):
+        # halve but stay on the MXU grid (640 // 2 = 320 is not a
+        # 128-multiple; the small-size sweep caught Mosaic rejecting it)
+        return max(x // 2 // MXU * MXU, MXU)
+
     bm = min(bounds.round_up(m, MXU), 512)
     bn = min(bounds.round_up(n, MXU), 512)
     bk_cap = min(bounds.round_up(k, MXU), 2048)
     while not fits(bm, bn, bk_cap) and bk_cap > MXU:
-        bk_cap //= 2
+        bk_cap = half(bk_cap)
     while not fits(bm, bn, bk_cap) and max(bm, bn) > MXU:
         if bm >= bn:
-            bm //= 2
+            bm = half(bm)
         else:
-            bn //= 2
+            bn = half(bn)
     # within the capacity cap, pick the K block that minimizes padding
     # (a raw cap padded e.g. k=2560 up to 4096 — +60% work, visible as
     # the bf16 sweep's dips at non-power-of-two sizes)
