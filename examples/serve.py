@@ -56,6 +56,10 @@ def main():
     ap.add_argument("--spec-draft-layers", type=int, default=4,
                     help="draft = the target's first K layers "
                          "(early-exit; shares embed/head)")
+    ap.add_argument("--prefill-chunk", type=int, default=None,
+                    help="chunked prefill: admit prompts in fixed "
+                         "C-token chunks (one compiled prefill shape "
+                         "for all lengths)")
     args = ap.parse_args()
     if args.spec_gamma and args.temperature > 0:
         ap.error("--spec-gamma requires greedy (--temperature 0)")
@@ -71,7 +75,8 @@ def main():
                         sample=make_sampler(args.temperature, top_k=40),
                         paged=args.paged, cache_pages=args.cache_pages,
                         prefix_cache=args.prefix_cache,
-                        alloc_backend=args.alloc_backend)
+                        alloc_backend=args.alloc_backend,
+                        prefill_chunk=args.prefill_chunk)
     rng = np.random.default_rng(0)
     mk = lambda: [Request(uid=i,
                           prompt=list(rng.integers(
