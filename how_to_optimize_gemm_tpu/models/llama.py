@@ -388,8 +388,8 @@ def _mlp(layer, cfg: LlamaConfig, y, use_pallas, lora=None):
             moe_ffn_local, moe_ffn_ragged)
         b, s, d = y.shape
         # Cost-based ragged routing (measured, round 3, v5e): the
-        # grouped GEMM wins at prefill scale (int8 T=4096: 3.06 vs the
-        # dispatch path's 4.27 ms) but loses at decode widths, where
+        # grouped GEMM wins at prefill scale (int8 T=4096: 2.43 vs the
+        # dispatch path's 4.17 ms) but loses at decode widths, where
         # both paths stream every expert's weights once and the ragged
         # layout's E*bt padded rows + grid steps are pure overhead
         # (batch 8 decode: dispatch 0.107 ms at 650 GB/s — the HBM
