@@ -221,7 +221,10 @@ struct Alloc {
     // prompt, capped so >= 1 suffix token remains to prefill
     int64_t attach(int64_t s, const int32_t* tokens, int64_t n,
                    int64_t adapter) {
-        if (!prefix_cache || !slot_ok(s)) return 0;
+        // admission-time operation on an EMPTY slot only (page c must
+        // be table column c) — mirrors PagedAllocatorPy.attach
+        if (!prefix_cache || !slot_ok(s) || !slot_pages[s].empty())
+            return 0;
         int64_t got = 0;
         int64_t cap = (n - 1) / page;
         if (cap > np_max) cap = np_max;   // table row bound

@@ -145,7 +145,10 @@ class PagedAllocatorPy:
         the prompt to slot s (capped so >= 1 suffix token remains to
         prefill — the model must emit logits to sample). Returns the
         number of attached (cache-hit) tokens."""
-        if not self.prefix_cache:
+        if not self.prefix_cache or self.slot_pages[s]:
+            # attach is an admission-time operation on an EMPTY slot
+            # (page c must be table column c); a non-empty slot is a
+            # caller bug — refuse rather than desync the table
             return 0
         cap = min((len(tokens) - 1) // self.page, self.np_max)
         got = 0
