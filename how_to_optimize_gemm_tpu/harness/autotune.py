@@ -153,6 +153,7 @@ def tune(rung_name: str, m: int, n: int, k: int, *,
          nrepeats: int = 8,
          candidate_list: list[tuple[int, int, int]] | None = None,
          verbose: bool = True,
+         noise_margin: float = 0.01,
          cache_path: pathlib.Path | str | None = DEFAULT_CACHE
          ) -> list[TuneRow]:
     """Time every candidate, gate each on device (fp32-HIGHEST
@@ -198,6 +199,15 @@ def tune(rung_name: str, m: int, n: int, k: int, *,
     ok = [r for r in rows if r.error is None]
     if ok and cache_path is not None:
         best = max(ok, key=lambda r: r.gflops)
+        # Bank a non-default winner only when it beats the chooser by
+        # a REAL margin: candidates within run-to-run noise are a
+        # coin flip, and the round-3 protocol caught a "+0.3%" banked
+        # config measuring WORSE than the default on a later session.
+        # Candidate #0 is always the chooser's own pick.
+        base = rows[0] if rows[0].error is None else None
+        if (base is not None and best is not base
+                and best.gflops < base.gflops * (1 + noise_margin)):
+            best = base
         save_cached(rung_name, m, n, k,
                     (best.bm, best.bn, best.bk), best.gflops,
                     cache_path)
