@@ -276,11 +276,20 @@ def _route_decode(use_pallas, t: int, dh: int, kvh: int,
     The crossover sits at ~24 MB/layer of cache traffic. KV8 caches
     read HALF the bytes eagerly (_attention_kv8 folds the scales into
     int8 einsums — no dequantized copy), so their bytes are counted at
-    1 B/elt against the same crossover. Wide-MHA models (e.g. 7B:
-    67 MB/layer at batch 2) stay paged at every practical length."""
+    1 B/elt against the same crossover. Wide-MHA dh=128 models (e.g.
+    7B: 67 MB/layer at batch 2) stay paged at every practical length.
+
+    Wide-MHA dh=64 (the head-pairing cache view) routes EAGER — the
+    queued round-2 A/B finally ran in round 3 and the paired route
+    LOST decisively: 258.5 vs eager's 395.2 tok/s (d2048/22L, kvh=32,
+    T=4096, batch 4, decode-from-empty — the protocol that FAVORS the
+    length-aware kernel). The per-pair-program overhead of the v3
+    walk at 16 pairs dominates everything its smaller reads save; an
+    honest negative kept with the view (_pair_heads) still available
+    explicitly."""
     w = kvh * dh
-    kernel_ok = (w % 128 == 0 and w <= 1024) or (w > 1024 and (
-        dh == 128 or (dh == 64 and kvh % 2 == 0)))
+    kernel_ok = (w % 128 == 0 and w <= 1024) or (w > 1024
+                                                 and dh == 128)
     cache_bytes = batch * t * w * (1 if kv8 else 2) * 2   # K + V
     worth_it = cache_bytes >= 24 * 1024 * 1024
     return _route_flash(use_pallas, t, dh) and kernel_ok and worth_it

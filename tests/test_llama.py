@@ -165,10 +165,11 @@ def test_routing_edge_cases_fall_back_not_crash():
     import jax.numpy as jnp
     import numpy as np
 
-    # wide dh=64 MHA: kvh*dh = 32*64 = 2048 > 1024 -> head-pairing v3
-    # (round 2: even kvh routes; odd kvh is the remaining eager case)
+    # wide dh=64 MHA routes EAGER since round 3: the chip A/B measured
+    # the head-pairing v3 walk losing decisively (258.5 vs 395.2 tok/s
+    # at T=4096 batch 4 — see _route_decode's docstring)
     from how_to_optimize_gemm_tpu.models.llama import _route_decode
-    assert _route_decode(True, 4096, 64, 32)       # wide dh=64: paired
+    assert not _route_decode(True, 4096, 64, 32)   # wide dh=64: eager
     assert _route_decode(True, 4096, 64, 4)        # GQA width: v4
     assert _route_decode(True, 4096, 128, 32)      # wide MHA d=128: v3
 
