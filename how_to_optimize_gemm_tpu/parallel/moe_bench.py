@@ -31,7 +31,6 @@ device before timing (gate 2e-2 for quantized stacks, 2e-3 dense).
 from __future__ import annotations
 
 import argparse
-import functools
 
 import jax
 import jax.numpy as jnp
