@@ -191,13 +191,16 @@ def choose_blocks_w4(m: int, n: int, kp: int,
             bk = cand
             break
     bk = min(bk, kp)
-    # TALL least-waste A strips (round 3): the banked autotune run
-    # found bm=1792 at p=3584 worth +4.0% over the old 512 cap
-    # (360.5 vs 346.7 GFLOPS for the 07b rung — fewer B re-reads, the
-    # same lesson as pallas_int8.choose_blocks_bt). The cap is
-    # budget-derived so the double-buffered A strip stays inside the
-    # noc kernels' 24 MB scoped-VMEM ceiling for bf16 activations too
-    # (ea = activation bytes/elt: 1 for w4a8, 2 for W4A16).
+    # TALL least-waste A strips (round 3): the banked autotune campaign
+    # found bm=1792 at p=3584 worth +4.0% over the old 512 cap (360.5
+    # vs 346.7 GFLOPS for the 07b rung — fewer B re-reads, the rung-14
+    # lesson), and the tall shapes hold at every tuned size (p=2048:
+    # (1024,512) 335.1 vs the old cap's ~322-330; the re-sweep's lone
+    # 294 reading at 2048 was an outlier the repeated tune rows
+    # contradict). The cap is budget-derived so the double-buffered A
+    # strip stays inside the noc kernels' 24 MB scoped-VMEM ceiling
+    # for bf16 activations too (ea = activation bytes/elt: 1 for w4a8,
+    # 2 for W4A16); swept shapes take their banked blocks via --tuned.
     budget = 14 * 1024 * 1024
     cap_rows = max((budget // (2 * bk * ea)) // 128 * 128, 512)
     bm = bounds._least_waste(bounds.round_up(m, 128),
