@@ -508,7 +508,7 @@ class ServingEngine:
         cfg = self.cfg
         use_pallas = self.use_pallas
 
-        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        @jax.jit
         def block(params_t, params_d, t_cache, d_cache, prev, pending,
                   pos, table=None):
             b = prev.shape[0]
@@ -566,7 +566,7 @@ class ServingEngine:
 
     def _spec_block_sampled(self, cfg_d, gamma: int, rounds: int,
                             temperature: float, top_k: int,
-                            top_p: float, base_key):
+                            top_p: float):
         """Sampled counterpart of _spec_block: rejection sampling
         (speculative.reject_round_device, vmapped over slots) with
         PER-REQUEST positional key streams — token i of request uid is
@@ -590,9 +590,9 @@ class ServingEngine:
                 jax.random.fold_in(k, p),
                 jnp.log(qq + 1e-38)))(keys, pos, q).astype(jnp.int32)
 
-        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        @jax.jit
         def block(params_t, params_d, t_cache, d_cache, prev, pending,
-                  pos, uids, table=None):
+                  pos, uids, base_key, table=None):
             b = prev.shape[0]
             keys = jax.vmap(lambda u: jax.random.fold_in(base_key, u))(
                 uids)
@@ -680,13 +680,22 @@ class ServingEngine:
         d_cache = llama.init_kv_cache(cfg_d, self.batch,
                                       dtype=jnp.float32)
         sampled = temperature > 0
-        if sampled:
-            base_key = jax.random.PRNGKey(0) if key is None else key
-            block = self._spec_block_sampled(cfg_d, gamma, rounds,
-                                             temperature, top_k, top_p,
-                                             base_key)
-        else:
-            block = self._spec_block(cfg_d, gamma, rounds)
+        base_key = jax.random.PRNGKey(0) if key is None else key
+        # blocks are cached per engine instance: a fresh jitted closure
+        # per run_spec call would re-TRACE the whole scan every batch
+        # (~5 s of host work at 7B — the round-3 retrace lesson,
+        # speculative._spec_device_block)
+        cache_key = (("sampled", cfg_d, gamma, rounds, temperature,
+                      top_k, top_p) if sampled
+                     else ("greedy", cfg_d, gamma, rounds))
+        if not hasattr(self, "_spec_blocks"):
+            self._spec_blocks = {}
+        if cache_key not in self._spec_blocks:
+            self._spec_blocks[cache_key] = (
+                self._spec_block_sampled(cfg_d, gamma, rounds,
+                                         temperature, top_k, top_p)
+                if sampled else self._spec_block(cfg_d, gamma, rounds))
+        block = self._spec_blocks[cache_key]
 
         @jax.jit
         def draft_prefill(params_d, d_cache, tokens, pos, write_mask):
@@ -767,7 +776,7 @@ class ServingEngine:
                 uids = np.asarray(
                     [self.slot_req[s].uid if self.slot_req[s] else 0
                      for s in range(self.batch)], np.int32)
-                args = args + (jnp.asarray(uids),)
+                args = args + (jnp.asarray(uids), base_key)
             (self.cache, d_cache, prev_j, pend_j, pos_j, toks,
              accepts) = block(*args, table)
             toks = np.asarray(toks)          # (rounds, B, gamma+1)

@@ -161,6 +161,66 @@ def speculative_decode(cfg_t, params_t, cfg_d, params_d, prompt,
     return out[:n_new], stats
 
 
+@functools.lru_cache(maxsize=32)
+def _spec_device_block(cfg_t, cfg_d, gamma: int, rounds: int,
+                       use_pallas):
+    """Compiled greedy draft+verify block, CACHED by configuration.
+
+    Round-3 measured lesson: a jitted closure built inside the serving
+    function is a NEW jit object per call, so every call re-TRACES the
+    whole multi-layer scan (~5 s of host work for a 32-layer model —
+    measured as 30 vs 93 tok/s on otherwise identical 7B loops).
+    Module-level lru_cache keyed by the hashable configs makes repeat
+    calls steady-state. (Donation deliberately absent: it measured an
+    ~11% per-dispatch tax on this relay — 82.4 vs 93.1 tok/s — and the
+    un-donated double-buffered caches fit HBM comfortably.)"""
+    @jax.jit
+    def block(params_t, params_d, t_cache, d_cache, prev, pending, n):
+        def round_fn(carry, _):
+            t_cache, d_cache, prev, pending, n = carry
+            feed = jnp.stack([prev, pending])[None]
+            lg, d_cache = llama.decode_step(
+                params_d, cfg_d, d_cache, feed, n - 1,
+                use_pallas=use_pallas)
+            first = jnp.argmax(lg[0, -1]).astype(jnp.int32)
+
+            def dstep(c, _):
+                cache, tok, pos = c
+                lg, cache = llama.decode_step(
+                    params_d, cfg_d, cache, tok[None, None], pos,
+                    use_pallas=use_pallas)
+                nxt = jnp.argmax(lg[0, -1]).astype(jnp.int32)
+                return (cache, nxt, pos + 1), nxt
+
+            (d_cache, _, _), rest = jax.lax.scan(
+                dstep, (d_cache, first, n + 1), None, length=gamma - 1)
+            drafts = jnp.concatenate([first[None], rest])   # (gamma,)
+
+            chain = jnp.concatenate([jnp.asarray([pending]), drafts]
+                                    )[None]                 # (1, gamma+1)
+            v_logits, t_cache = llama.decode_step(
+                params_t, cfg_t, t_cache, chain, n,
+                use_pallas=use_pallas)
+            greedy = jnp.argmax(v_logits[0], axis=-1).astype(jnp.int32)
+
+            # a = longest matching prefix; emitted = greedy[:a+1]
+            match = drafts == greedy[:gamma]
+            a = jnp.argmin(jnp.concatenate(
+                [match, jnp.zeros(1, bool)])).astype(jnp.int32)
+            prev_n = jnp.where(a > 0, greedy[jnp.maximum(a - 1, 0)],
+                               pending)
+            return ((t_cache, d_cache, prev_n, greedy[a], n + a + 1),
+                    (greedy, a))
+
+        (t_cache, d_cache, prev, pending, n), (toks, accepts) = \
+            jax.lax.scan(round_fn,
+                         (t_cache, d_cache, prev, pending, n),
+                         None, length=rounds)
+        return t_cache, d_cache, prev, pending, n, toks, accepts
+
+    return block
+
+
 def speculative_decode_device(cfg_t, params_t, cfg_d, params_d, prompt,
                               n_new: int, gamma: int = 4,
                               rounds: int = 8,
@@ -210,53 +270,7 @@ def speculative_decode_device(cfg_t, params_t, cfg_d, params_d, prompt,
     stats.tokens += 1
     n = len(prompt)
     prev = int(prompt[-1])        # committed token at position n-1
-
-    # donate the caches: without it every dispatch allocates (and on
-    # the relay, materializes) a fresh multi-GB cache output buffer
-    @functools.partial(jax.jit, donate_argnums=(2, 3))
-    def block(params_t, params_d, t_cache, d_cache, prev, pending, n):
-        def round_fn(carry, _):
-            t_cache, d_cache, prev, pending, n = carry
-            # draft catch-up: rewrite pos n-1 (idempotent) + write n
-            feed = jnp.stack([prev, pending])[None]
-            lg, d_cache = llama.decode_step(
-                params_d, cfg_d, d_cache, feed, n - 1,
-                use_pallas=use_pallas)
-            first = jnp.argmax(lg[0, -1]).astype(jnp.int32)
-
-            def dstep(c, _):
-                cache, tok, pos = c
-                lg, cache = llama.decode_step(
-                    params_d, cfg_d, cache, tok[None, None], pos,
-                    use_pallas=use_pallas)
-                nxt = jnp.argmax(lg[0, -1]).astype(jnp.int32)
-                return (cache, nxt, pos + 1), nxt
-
-            (d_cache, _, _), rest = jax.lax.scan(
-                dstep, (d_cache, first, n + 1), None, length=gamma - 1)
-            drafts = jnp.concatenate([first[None], rest])   # (gamma,)
-
-            chain = jnp.concatenate([jnp.asarray([pending]), drafts]
-                                    )[None]                 # (1, gamma+1)
-            v_logits, t_cache = llama.decode_step(
-                params_t, cfg_t, t_cache, chain, n,
-                use_pallas=use_pallas)
-            greedy = jnp.argmax(v_logits[0], axis=-1).astype(jnp.int32)
-
-            # a = longest matching prefix; emitted = greedy[:a+1]
-            match = drafts == greedy[:gamma]
-            a = jnp.argmin(jnp.concatenate(
-                [match, jnp.zeros(1, bool)])).astype(jnp.int32)
-            prev_n = jnp.where(a > 0, greedy[jnp.maximum(a - 1, 0)],
-                               pending)
-            return ((t_cache, d_cache, prev_n, greedy[a], n + a + 1),
-                    (greedy, a))
-
-        (t_cache, d_cache, prev, pending, n), (toks, accepts) = \
-            jax.lax.scan(round_fn,
-                         (t_cache, d_cache, prev, pending, n),
-                         None, length=rounds)
-        return t_cache, d_cache, prev, pending, n, toks, accepts
+    block = _spec_device_block(cfg_t, cfg_d, gamma, rounds, use_pallas)
 
     prev = jnp.int32(prev)
     pending_j = jnp.int32(pending)
@@ -382,48 +396,22 @@ def reject_round_device(q_rows, xs, p_rows, key, base_pos):
     return tokens, a
 
 
-def speculative_sample_device(cfg_t, params_t, cfg_d, params_d, prompt,
-                              n_new: int, gamma: int = 4,
-                              rounds: int = 8, key=None,
-                              temperature: float = 1.0, top_k: int = 0,
-                              top_p: float = 0.0,
-                              use_pallas: bool | None = None,
-                              cache_dtype=jnp.float32
-                              ) -> tuple[list[int], SpecStats]:
-    """Device-looped SAMPLED speculative decoding: rejection sampling
-    (reject_round_device) with whole rounds per dispatch — the sampled
-    counterpart of speculative_decode_device. Emitted stream is
-    distributed exactly as target-only positional-keyed ancestral
-    sampling (bit-exact when draft == target, since every accept test
-    passes and every draw shares ancestral_sample's fold_in(key, pos)
-    stream — tested)."""
+@functools.lru_cache(maxsize=32)
+def _spec_sample_block(cfg_t, cfg_d, gamma: int, rounds: int,
+                       temperature: float, top_k: int, top_p: float,
+                       use_pallas):
+    """Compiled SAMPLED draft+verify block, cached by configuration
+    (see _spec_device_block for the retrace lesson); the PRNG key is
+    an argument so one compiled block serves every stream."""
     from how_to_optimize_gemm_tpu.parallel.serving import filter_logits
-    assert cfg_t.vocab == cfg_d.vocab, "draft must share the vocab"
-    key = jax.random.PRNGKey(0) if key is None else key
-    prompt = np.asarray(prompt, np.int32)
-    stats = SpecStats()
 
     def probs(logits):
         return jax.nn.softmax(filter_logits(logits, temperature, top_k,
                                             top_p), axis=-1)
 
-    t_logits, t_cache = _prefill(cfg_t, params_t, prompt, use_pallas,
-                                 cache_dtype)
-    _, d_cache = _prefill(cfg_d, params_d, prompt, use_pallas,
-                          cache_dtype)
-    stats.target_calls += 1
-    stats.draft_calls += 1
-
-    n = len(prompt)
-    pending = int(jax.random.categorical(
-        jax.random.fold_in(key, n),
-        jnp.log(probs(t_logits[0]) + 1e-38)))
-    out: list[int] = [pending]
-    stats.tokens += 1
-    prev = int(prompt[-1])
-
-    @functools.partial(jax.jit, donate_argnums=(2, 3))
-    def block(params_t, params_d, t_cache, d_cache, prev, pending, n):
+    @jax.jit
+    def block(params_t, params_d, t_cache, d_cache, prev, pending, n,
+              key):
         def round_fn(carry, _):
             t_cache, d_cache, prev, pending, n = carry
             feed = jnp.stack([prev, pending])[None]
@@ -470,13 +458,60 @@ def speculative_sample_device(cfg_t, params_t, cfg_d, params_d, prompt,
                          None, length=rounds)
         return t_cache, d_cache, prev, pending, n, toks, accepts
 
+    return block
+
+
+def speculative_sample_device(cfg_t, params_t, cfg_d, params_d, prompt,
+                              n_new: int, gamma: int = 4,
+                              rounds: int = 8, key=None,
+                              temperature: float = 1.0, top_k: int = 0,
+                              top_p: float = 0.0,
+                              use_pallas: bool | None = None,
+                              cache_dtype=jnp.float32
+                              ) -> tuple[list[int], SpecStats]:
+    """Device-looped SAMPLED speculative decoding: rejection sampling
+    (reject_round_device) with whole rounds per dispatch — the sampled
+    counterpart of speculative_decode_device. Emitted stream is
+    distributed exactly as target-only positional-keyed ancestral
+    sampling (bit-exact when draft == target, since every accept test
+    passes and every draw shares ancestral_sample's fold_in(key, pos)
+    stream — tested)."""
+    from how_to_optimize_gemm_tpu.parallel.serving import filter_logits
+    assert cfg_t.vocab == cfg_d.vocab, "draft must share the vocab"
+    key = jax.random.PRNGKey(0) if key is None else key
+    prompt = np.asarray(prompt, np.int32)
+    stats = SpecStats()
+
+    def probs(logits):
+        return jax.nn.softmax(filter_logits(logits, temperature, top_k,
+                                            top_p), axis=-1)
+
+    t_logits, t_cache = _prefill(cfg_t, params_t, prompt, use_pallas,
+                                 cache_dtype)
+    _, d_cache = _prefill(cfg_d, params_d, prompt, use_pallas,
+                          cache_dtype)
+    stats.target_calls += 1
+    stats.draft_calls += 1
+
+    n = len(prompt)
+    pending = int(jax.random.categorical(
+        jax.random.fold_in(key, n),
+        jnp.log(probs(t_logits[0]) + 1e-38)))
+    out: list[int] = [pending]
+    stats.tokens += 1
+    prev = int(prompt[-1])
+
+    block = _spec_sample_block(cfg_t, cfg_d, gamma, rounds,
+                               temperature, top_k, top_p, use_pallas)
+
     prev = jnp.int32(prev)
     pending_j = jnp.int32(pending)
     n_j = jnp.int32(n)
     max_adv = rounds * (gamma + 1)
     while len(out) < n_new and n + max_adv + gamma + 1 < cfg_t.max_seq:
         t_cache, d_cache, prev, pending_j, n_j, toks, accepts = block(
-            params_t, params_d, t_cache, d_cache, prev, pending_j, n_j)
+            params_t, params_d, t_cache, d_cache, prev, pending_j, n_j,
+            key)
         toks = np.asarray(toks)
         accepts = np.asarray(accepts)
         stats.target_calls += rounds
@@ -583,18 +618,12 @@ def speculative_sample(cfg_t, params_t, cfg_d, params_d, prompt,
     return out[:n_new], stats
 
 
-def windowed_greedy_decode(cfg, params, prompt, n_new: int,
-                           window: int = 8,
-                           use_pallas: bool | None = None,
-                           cache_dtype=jnp.float32) -> list[int]:
-    """Target-only greedy decode with ``window`` steps per dispatch —
-    the plain-decode side of the speculative tokens/s A/B, using the
-    serving engine's own relay economics (serving.py _decode)."""
-    prompt = np.asarray(prompt, np.int32)
-    logits, cache = _prefill(cfg, params, prompt, use_pallas,
-                             cache_dtype)
-
-    @functools.partial(jax.jit, donate_argnums=(1,))
+@functools.lru_cache(maxsize=32)
+def _windowed_block(cfg, window: int, use_pallas):
+    """Compiled W-step greedy decode block, cached by configuration
+    (see _spec_device_block for the retrace lesson and the donation
+    tradeoff)."""
+    @jax.jit
     def block(params, cache, tok, pos):
         def step(carry, _):
             cache, tok, pos = carry
@@ -607,6 +636,20 @@ def windowed_greedy_decode(cfg, params, prompt, n_new: int,
             step, (cache, tok, pos), None, length=window)
         return cache, tok, pos, toks
 
+    return block
+
+
+def windowed_greedy_decode(cfg, params, prompt, n_new: int,
+                           window: int = 8,
+                           use_pallas: bool | None = None,
+                           cache_dtype=jnp.float32) -> list[int]:
+    """Target-only greedy decode with ``window`` steps per dispatch —
+    the plain-decode side of the speculative tokens/s A/B, using the
+    serving engine's own relay economics (serving.py _decode)."""
+    prompt = np.asarray(prompt, np.int32)
+    logits, cache = _prefill(cfg, params, prompt, use_pallas,
+                             cache_dtype)
+    block = _windowed_block(cfg, window, use_pallas)
     out = [int(jnp.argmax(logits[0]))]
     tok = jnp.int32(out[0])
     pos = jnp.int32(len(prompt))
