@@ -796,6 +796,71 @@ def decode_step(params, cfg: LlamaConfig, cache, tokens: jnp.ndarray,
     return logits, new_cache
 
 
+# ----------------------------------------------- stacked-layers decode
+
+def stack_layers(params):
+    """Stacked-layers view of a params tree: the per-layer dicts merge
+    into ONE tree whose array leaves gain a leading L axis (all layers
+    share a structure for dense configs; asserted by jax.tree.map).
+
+    Motivation: an UNROLLED 32-layer decode step is ~4,700 HLO ops
+    whose host-side dispatch keeps the chip largely idle behind the
+    relay (~14 ms/step of inter-op gaps at 7B batch 1); the scanned
+    form (decode_step_stacked) has 32x fewer unique ops and ~30x fewer
+    parameter leaves.
+
+    MEASURED VERDICT (round 3, v5e, 7B w4a8 batch 1, W=8): an honest
+    NEGATIVE on this machine — 24.4 tok/s stacked vs 38.2 unrolled,
+    tokens identical. lax.scan materializes each iteration's slice of
+    the stacked weight arrays, so the weights stream TWICE per step
+    (slice copy + kernel read, ~+5 ms) and the loop adds per-iteration
+    runtime overhead that outweighs the dispatch-gap savings; compile
+    time barely moved (22 vs 28 s first call). Kept, tested and exact,
+    for systems where host dispatch dominates harder than weight
+    bandwidth (multi-host controllers); the unrolled form stays the
+    default everywhere."""
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                 *params["layers"])
+    return out
+
+
+def stack_kv_cache(cache):
+    """Contiguous per-layer [(K, V), ...] -> stacked (K_L, V_L) with a
+    leading L axis — decode_step_stacked's cache form."""
+    return (jnp.stack([e[0] for e in cache]),
+            jnp.stack([e[1] for e in cache]))
+
+
+def decode_step_stacked(stacked, cfg: LlamaConfig, cache,
+                        tokens: jnp.ndarray, pos: jnp.ndarray,
+                        use_pallas: bool | None = None):
+    """decode_step over a stacked-layers tree via ONE lax.scan.
+
+    cache = (K, V) stacked (L, B, T, KVH, D) contiguous bf16 (see
+    stack_kv_cache); logits and cache contents are identical to
+    decode_step's (tested — same per-layer math, same kernels, just
+    loop-rolled). The fast single-stream serving path: no paging, KV8,
+    LoRA, or write_mask — those stay on decode_step."""
+    b, s = tokens.shape
+    x = stacked["embed"][tokens]
+    positions = (pos[..., None] if jnp.ndim(pos) else pos) + jnp.arange(s)
+    cos, sin = _rope_freqs(cfg, positions)
+    kS, vS = cache
+
+    def body(x, inputs):
+        layer, kc, vc = inputs
+        x, (kc, vc), _ = _block(layer, cfg, x, cos, sin,
+                                kv=(kc, vc, pos),
+                                use_pallas=use_pallas)
+        return x, (kc, vc)
+
+    x, (kS, vS) = jax.lax.scan(body, x, (stacked["layers"], kS, vS))
+    x = rmsnorm(x, stacked["out_norm"], cfg.norm_eps)
+    logits = apply_linear(stacked["lm_head"], x, use_pallas)
+    return logits, (kS, vS)
+
+
 # ------------------------------------------------------------- training
 
 def token_nll(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:

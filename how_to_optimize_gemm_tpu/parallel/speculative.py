@@ -619,17 +619,23 @@ def speculative_sample(cfg_t, params_t, cfg_d, params_d, prompt,
 
 
 @functools.lru_cache(maxsize=32)
-def _windowed_block(cfg, window: int, use_pallas):
+def _windowed_block(cfg, window: int, use_pallas,
+                    stacked: bool = False):
     """Compiled W-step greedy decode block, cached by configuration
     (see _spec_device_block for the retrace lesson and the donation
-    tradeoff)."""
+    tradeoff). stacked=True runs llama.decode_step_stacked (one
+    lax.scan over layers instead of an unrolled 32-layer program —
+    ~30x fewer HLO ops and parameter leaves per step)."""
+    step_fn = (llama.decode_step_stacked if stacked
+               else llama.decode_step)
+
     @jax.jit
     def block(params, cache, tok, pos):
         def step(carry, _):
             cache, tok, pos = carry
-            lg, cache = llama.decode_step(params, cfg, cache,
-                                          tok[None, None], pos,
-                                          use_pallas=use_pallas)
+            lg, cache = step_fn(params, cfg, cache,
+                                tok[None, None], pos,
+                                use_pallas=use_pallas)
             nxt = jnp.argmax(lg[0, -1]).astype(jnp.int32)
             return (cache, nxt, pos + 1), nxt
         (cache, tok, pos), toks = jax.lax.scan(
@@ -642,14 +648,20 @@ def _windowed_block(cfg, window: int, use_pallas):
 def windowed_greedy_decode(cfg, params, prompt, n_new: int,
                            window: int = 8,
                            use_pallas: bool | None = None,
-                           cache_dtype=jnp.float32) -> list[int]:
+                           cache_dtype=jnp.float32,
+                           stacked: bool = False) -> list[int]:
     """Target-only greedy decode with ``window`` steps per dispatch —
     the plain-decode side of the speculative tokens/s A/B, using the
-    serving engine's own relay economics (serving.py _decode)."""
+    serving engine's own relay economics (serving.py _decode).
+    stacked=True decodes through the stacked-layers scan
+    (llama.decode_step_stacked) — identical tokens, far fewer ops."""
     prompt = np.asarray(prompt, np.int32)
     logits, cache = _prefill(cfg, params, prompt, use_pallas,
                              cache_dtype)
-    block = _windowed_block(cfg, window, use_pallas)
+    if stacked:
+        params = llama.stack_layers(params)
+        cache = llama.stack_kv_cache(cache)
+    block = _windowed_block(cfg, window, use_pallas, stacked)
     out = [int(jnp.argmax(logits[0]))]
     tok = jnp.int32(out[0])
     pos = jnp.int32(len(prompt))

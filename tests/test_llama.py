@@ -327,3 +327,34 @@ def test_init_params_expert_stacks_follow_weight_kind():
                                 cfg8.vocab)
     out = llama.forward(p8, cfg8, tokens, use_pallas=False)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_stacked_decode_matches_unrolled():
+    """decode_step_stacked (one lax.scan over stacked layers) equals
+    decode_step exactly — logits and cache contents, scalar and
+    per-slot pos, dense and quantized weights. (Measured on chip as an
+    honest serving NEGATIVE — scan re-streams the weight slices — but
+    the exactness contract stands; see llama.stack_layers.)"""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    for kind in ("fp32", "w4a8"):
+        cfg = llama.LlamaConfig(vocab=64, d_model=64, n_layers=3,
+                                n_heads=4, n_kv_heads=2, d_ff=128,
+                                max_seq=64, weight_kind=kind)
+        params = llama.init_params(jax.random.PRNGKey(0), cfg)
+        cache = llama.init_kv_cache(cfg, batch=2)
+        toks = jax.random.randint(jax.random.PRNGKey(1), (2, 4), 0, 64)
+        for pos in (jnp.int32(3), jnp.asarray([3, 5], jnp.int32)):
+            lg, nc = llama.decode_step(params, cfg, cache, toks, pos,
+                                       use_pallas=False)
+            st = llama.stack_layers(params)
+            sc = llama.stack_kv_cache(cache)
+            lg2, (kS, vS) = llama.decode_step_stacked(
+                st, cfg, sc, toks, pos, use_pallas=False)
+            np.testing.assert_allclose(np.asarray(lg2), np.asarray(lg),
+                                       atol=1e-5, rtol=1e-5)
+            kref = jnp.stack([e[0] for e in nc])
+            np.testing.assert_allclose(np.asarray(kS),
+                                       np.asarray(kref), atol=1e-6)
