@@ -71,3 +71,23 @@ def test_gemv_pack_algebra_matches_decode_path():
     y_slow = pallas_int4.mmult_q_w4a8_noc(qa, sa, packed8, sw8,
                                           fast=False)
     assert jnp.array_equal(y_fast, y_slow)
+
+
+def test_w4a8_fused_quant_gemv_matches_separate():
+    """The fused-activation-quant GEMV (in-kernel absmax/round/clip)
+    is numerically identical to quantize_symmetric + the separate
+    kernel — same ops, same order."""
+    import jax
+    import jax.numpy as jnp
+
+    from how_to_optimize_gemm_tpu.ops import bounds, pallas_int4, quant
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 1024), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (1024, 384),
+                          jnp.float32)
+    qa, sa = quant.quantize_symmetric(x, axis=1)
+    wp = bounds.pad_dim(w, 0, 512)
+    qw, sw = quant.quantize_symmetric(wp, axis=0, bits=4)
+    packed = quant.pack_int4(qw, 512)
+    ref = pallas_int4.mmult_q_w4a8_noc(qa, sa, packed, sw)
+    got = pallas_int4.mmult_w4a8_fused_noc(x, packed, sw)
+    assert float(jnp.max(jnp.abs(got - ref))) < 1e-5
