@@ -1014,7 +1014,7 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser(description=main.__doc__)
     ap.add_argument("--weight-kind", default="int8",
-                    choices=["fp32", "bf16", "int8", "int4"])
+                    choices=["fp32", "bf16", "int8", "int4", "w4a8"])
     ap.add_argument("--d-model", type=int, default=2048)
     ap.add_argument("--n-layers", type=int, default=22)
     ap.add_argument("--d-ff", type=int, default=5632)
@@ -1056,7 +1056,8 @@ def main(argv=None):
                                 use_pallas=use_pallas,
                                 cache_kind=args.cache_kind,
                                 paged=args.paged)
-    wbytes = {"fp32": 4, "bf16": 2, "int8": 1, "int4": 0.5}[
+    wbytes = {"fp32": 4, "bf16": 2, "int8": 1, "int4": 0.5,
+              "w4a8": 0.5}[
         args.weight_kind]
     n_mlp_mats = 3 * max(cfg.n_experts, 1)
     nparam = (cfg.vocab * cfg.d_model * 2
