@@ -26,6 +26,15 @@ Tie rule: a round is a tie when the two per-call times differ by less
 than ``tie_rel`` (default 0.5%, well under the measured ±10% relay
 variance but above clock jitter at 0.5 s launches).
 
+PROTOCOL HYGIENE (learned the hard way, round 3): run sessions on an
+otherwise IDLE host. A concurrent CPU-bound job (a pytest run) made
+one rung read 371-388 TOPS — above its own in-kernel dot ceiling —
+because host scheduling noise corrupts the wall-clock/overhead
+accounting; that session was killed before it could contaminate the
+committed artifact. Sanity rule: any reading above the rung's
+measured resident-dot ceiling (384 TOPS int8) is a broken session,
+not speed.
+
 CLI::
 
     python -u -m how_to_optimize_gemm_tpu.harness.ab \
