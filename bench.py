@@ -15,6 +15,9 @@ import json
 import sys
 
 REFERENCE_BEST_GFLOPS = 22418.0  # cuda_12 sweep peak (BASELINE.md)
+# measured v5e int8 MXU throughput probe ceiling with margin — no
+# honest GEMM reading can exceed it (utils/timing + ops/probes)
+SANITY_GFLOPS = 460000.0
 # The int8 ladder top: hand Pallas rungs + the XLA vendor rung, exactly the
 # population of the reference's headline chart (custom rungs AND cuBLAS,
 # README.md:96-102). Peak = best correctness-gated rung over the sweep.
@@ -58,6 +61,23 @@ def main() -> None:
             rows = run_sweep(rung, cfg, verbose=False,
                              quant_oracle=False, verify="device",
                              tuned=True)
+            for attempt in range(3):
+                # SANITY CEILING: the int8 probe tops out ~460 TOPS;
+                # anything above is a relay timing artifact (observed:
+                # a 550,575 reading for the vendor rung — the platform
+                # occasionally under-reports a chained launch's wall
+                # time). Re-measure; never post a physically
+                # impossible headline.
+                if all(r.gflops <= SANITY_GFLOPS for r in rows):
+                    break
+                print(f"# {rung} p={p}: reading above the "
+                      f"{SANITY_GFLOPS:.0f} GFLOPS probe ceiling — "
+                      "re-measuring (relay timing artifact)",
+                      file=sys.stderr)
+                rows = run_sweep(rung, cfg, verbose=False,
+                                 quant_oracle=False, verify="device",
+                                 tuned=True)
+            rows = [r for r in rows if r.gflops <= SANITY_GFLOPS]
             for r in rows:
                 print(f"# {rung} p={r.p} {r.gflops:.1f} GFLOPS "
                       f"(kernel_rel={r.kernel_rel:.2e})", file=sys.stderr)
