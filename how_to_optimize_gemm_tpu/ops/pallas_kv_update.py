@@ -15,10 +15,11 @@ DMAs into an HBM-resident buffer the kernel owns in place
 (``input_output_aliases``), never streaming or copying the cache itself.
 
 - ``kv_update``: contiguous (B, T, ...) caches — one program per slot,
-  one async copy of the (S, ...) new rows at that slot's position.
-  Out-of-range positions (pos + S > T) skip the write, matching the
-  scatter path's drop semantics (a finished slot scanning past max_seq
-  must not corrupt live rows).
+  one async row copy per new token at that slot's position. Rows that
+  land out of range (pos + i outside [0, T)) are skipped PER ROW —
+  exactly the scatter path's element-wise drop semantics (a slot whose
+  speculative window crosses max_seq keeps its in-range rows and drops
+  the rest; a finished slot scanning past max_seq writes nothing).
 - ``paged_kv_update``: page-pool caches — per-token row DMAs routed by
   precomputed (page, offset) pairs; page 0 (the trash page, see
   ops/pallas_paged_attention) is skipped instead of written.
@@ -43,13 +44,13 @@ def _kernel_contig(s: int, t: int, pos_ref, msk_ref, new_ref, cache_any,
                    out_any, sem):
     b = pl.program_id(0)
     p = pos_ref[b]
-
-    @pl.when((msk_ref[b] != 0) & (p >= 0) & (p + s <= t))
-    def _():
-        cp = pltpu.make_async_copy(new_ref.at[0],
-                                   out_any.at[b, pl.ds(p, s)], sem)
-        cp.start()
-        cp.wait()
+    for i in range(s):
+        @pl.when((msk_ref[b] != 0) & (p + i >= 0) & (p + i < t))
+        def _():
+            cp = pltpu.make_async_copy(new_ref.at[0, i],
+                                       out_any.at[b, p + i], sem)
+            cp.start()
+            cp.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -85,9 +86,8 @@ def kv_update(cache, new, pos, write_mask=None, interpret=None):
     buffer must be dead after this call — true inside decode steps,
     where the old cache value has no other reader).
 
-    Semantics match models.llama._update_cache for in-range writes;
-    writes with pos + S > T are skipped whole (the scatter path drops
-    them element-wise — both keep live rows intact)."""
+    Semantics match models.llama._update_cache exactly: rows landing
+    outside [0, T) are dropped per row, like the scatter path."""
     b = cache.shape[0]
     posv = (jnp.full((b,), pos, jnp.int32) if jnp.ndim(pos) == 0
             else pos.astype(jnp.int32))

@@ -55,6 +55,24 @@ def test_contig_out_of_range_is_dropped():
     np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
 
 
+def test_contig_partial_overflow_drops_rows():
+    """A multi-token write crossing T (a speculative window at max_seq)
+    keeps its in-range rows and drops the rest — element-wise drop, the
+    scatter semantic. (XLA's own S>1 formulation is a vmap'd
+    dynamic_update_slice, which CLAMPS the start index and silently
+    overwrites live history rows — the kernel must not copy that.)"""
+    b, t, kvh, d = 2, 16, 2, 128
+    k0, k1 = jax.random.split(jax.random.PRNGKey(6))
+    cache = _mk(k0, (b, t, kvh, d), jnp.bfloat16)
+    new = _mk(k1, (b, 4, kvh, d), jnp.float32)
+    pos = jnp.array([t - 2, 5], jnp.int32)   # slot 0: rows 14,15 in, 2 out
+    got = kvu.kv_update(cache, new, pos, interpret=True)
+    exp = np.asarray(cache).copy()
+    exp[0, t - 2:] = np.asarray(new.astype(cache.dtype))[0, :2]
+    exp[1, 5:9] = np.asarray(new.astype(cache.dtype))[1]
+    np.testing.assert_array_equal(exp, np.asarray(got))
+
+
 def test_contig_scales_rank3():
     """KV8 scale tensors are (B, T, 128) — rank-3 caches go through the
     same kernel."""
