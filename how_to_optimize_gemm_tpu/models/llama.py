@@ -197,6 +197,45 @@ def requantize(params: dict, kind: str) -> dict:
     return walk(params)
 
 
+def _fuse_linears(lins):
+    """Concat same-kind (d_in, N_i) linears along the output dim. Every
+    format's leaves are (K', N) arrays or (1, N) scales, so fusion is
+    leaf-wise concatenation; per-OUTPUT-channel quantization scales make
+    it bit-exact (each output column keeps its own scale), and the
+    activation quantization is per-row of the SHARED input, so the fused
+    product is bit-identical to the unfused ones."""
+    from how_to_optimize_gemm_tpu.models.linear import linear_kind
+    kinds = {linear_kind(l) for l in lins}
+    assert len(kinds) == 1, f"cannot fuse mixed kinds {kinds}"
+    return {key: (lins[0][key] if key.endswith("_kdim")
+                  else jnp.concatenate([l[key] for l in lins], axis=-1))
+            for key in lins[0]}
+
+
+def fuse_projections(params: dict) -> dict:
+    """Serving-time transform: per layer, fuse wq/wk/wv into one "wqkv"
+    linear and (dense-MLP layers) w_gate/w_up into "w_gate_up". One GEMV
+    + one activation quantization where there were three (QKV) or two
+    (gate/up) — at decode widths that is 5 of every 7 projection
+    launches and their dispatch gaps gone (RESULTS.md round-3 anatomy:
+    ~14 ms/window of host-dispatch gaps across ~4,700 ops; the
+    reference's analogue is interleaving loads into compute,
+    aarch64 MMult_4x4_17). _block/_mlp split the fused outputs;
+    generation is bit-identical (tested, every weight kind). Do not use
+    under LoRA serving (adapters key on the unfused names — _lin would
+    silently skip their deltas) or training (params stay canonical)."""
+    layers = []
+    for layer in params["layers"]:
+        layer = dict(layer)
+        layer["wqkv"] = _fuse_linears(
+            [layer.pop("wq"), layer.pop("wk"), layer.pop("wv")])
+        if "w_gate" in layer:
+            layer["w_gate_up"] = _fuse_linears(
+                [layer.pop("w_gate"), layer.pop("w_up")])
+        layers.append(layer)
+    return {**params, "layers": layers}
+
+
 # --------------------------------------------------------------- modules
 
 def rmsnorm(x: jnp.ndarray, g: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -295,7 +334,21 @@ def _route_decode(use_pallas, t: int, dh: int, kvh: int,
     return _route_flash(use_pallas, t, dh) and kernel_ok and worth_it
 
 
-def _update_cache(cache, new, pos, write_mask=None):
+def _route_kv_write(use_pallas, s: int) -> bool:
+    """Decode-width cache writes ride the in-place Pallas DMA kernel
+    (ops/pallas_kv_update): the write becomes S tiny row DMAs into the
+    ALIASED cache buffer instead of a scatter XLA wraps in full-cache
+    copy-on-write (+ a convert round trip at 7B widths) — the measured
+    ~3.3 ms/step decode tax of the round-3 anatomy (RESULTS.md). Chip
+    microbench, one 16 MB 7B layer cache: 0.31 vs 3.06 us/update.
+    Routed at decode/spec widths only (small S): prefill writes are
+    one-shot full-width updates where the copy IS the write."""
+    from how_to_optimize_gemm_tpu.utils.env import on_tpu
+    enabled = use_pallas if use_pallas is not None else on_tpu()
+    return bool(enabled) and s <= 8
+
+
+def _update_cache(cache, new, pos, write_mask=None, use_pallas=None):
     """cache (B,T,KVH,D) <- new (B,S,KVH,D) at position pos (scalar or
     (B,)).
 
@@ -310,6 +363,9 @@ def _update_cache(cache, new, pos, write_mask=None):
     the mechanism behind single-call batched prefill (one slot writes its
     whole prompt; live slots are unaffected)."""
     new = new.astype(cache.dtype)
+    if _route_kv_write(use_pallas, new.shape[1]):
+        from how_to_optimize_gemm_tpu.ops.pallas_kv_update import kv_update
+        return kv_update(cache, new, pos, write_mask)
     if write_mask is not None:
         updated = _update_cache(cache, new, pos)
         bc = write_mask.reshape((-1,) + (1,) * (cache.ndim - 1))
@@ -330,7 +386,8 @@ def _update_cache(cache, new, pos, write_mask=None):
     )(cache, new, pos)
 
 
-def _update_paged_cache(pool, new, pos, table, write_mask=None):
+def _update_paged_cache(pool, new, pos, table, write_mask=None,
+                        use_pallas=None):
     """Paged-cache write: pool (NP, PS, KVH, D) <- new (B, S, KVH, D) at
     positions pos..pos+S-1, routed through the block table (B, max_pages).
 
@@ -350,6 +407,13 @@ def _update_paged_cache(pool, new, pos, table, write_mask=None):
     offs = positions % ps
     if write_mask is not None:
         pages = jnp.where(write_mask[:, None], pages, 0)
+    if _route_kv_write(use_pallas, s):
+        # Kernel skips page-0 rows outright (masked slots above, plus
+        # unallocated chunks) — "write trash" and "don't write" are
+        # observably identical, minus the DMA.
+        from how_to_optimize_gemm_tpu.ops.pallas_kv_update import (
+            paged_kv_update)
+        return paged_kv_update(pool, new, pages, offs)
     return pool.at[pages.reshape(-1), offs.reshape(-1)].set(
         new.reshape((b * s,) + new.shape[2:]))
 
@@ -423,8 +487,12 @@ def _mlp(layer, cfg: LlamaConfig, y, use_pallas, lora=None):
                                  k=cfg.moe_top_k, capacity_factor=cf,
                                  return_aux=True)
         return out.reshape(b, s, d), aux
-    gate = _lin(layer, "w_gate", y, use_pallas, lora)
-    up = _lin(layer, "w_up", y, use_pallas, lora)
+    if "w_gate_up" in layer:
+        gu = _lin(layer, "w_gate_up", y, use_pallas, lora)
+        gate, up = gu[..., :cfg.d_ff], gu[..., cfg.d_ff:]
+    else:
+        gate = _lin(layer, "w_gate", y, use_pallas, lora)
+        up = _lin(layer, "w_up", y, use_pallas, lora)
     return _lin(layer, "w_down", jax.nn.silu(gate) * up, use_pallas,
                 lora), jnp.float32(0.0)
 
@@ -441,9 +509,15 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
     h, kvh, dh = cfg.n_heads, cfg.n_kv_heads, cfg.d_head
 
     y = rmsnorm(x, layer["attn_norm"], cfg.norm_eps)
-    q = _lin(layer, "wq", y, use_pallas, lora).reshape(b, s, h, dh)
-    k = _lin(layer, "wk", y, use_pallas, lora).reshape(b, s, kvh, dh)
-    v = _lin(layer, "wv", y, use_pallas, lora).reshape(b, s, kvh, dh)
+    if "wqkv" in layer:
+        qkv = _lin(layer, "wqkv", y, use_pallas, lora)
+        q = qkv[..., :h * dh].reshape(b, s, h, dh)
+        k = qkv[..., h * dh:(h + kvh) * dh].reshape(b, s, kvh, dh)
+        v = qkv[..., (h + kvh) * dh:].reshape(b, s, kvh, dh)
+    else:
+        q = _lin(layer, "wq", y, use_pallas, lora).reshape(b, s, h, dh)
+        k = _lin(layer, "wk", y, use_pallas, lora).reshape(b, s, kvh, dh)
+        v = _lin(layer, "wv", y, use_pallas, lora).reshape(b, s, kvh, dh)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -461,10 +535,14 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
         pad_g = skp.shape[-1] - ks.shape[-1]
         ks = jnp.pad(ks, ((0, 0), (0, 0), (0, pad_g)))
         vs = jnp.pad(vs, ((0, 0), (0, 0), (0, pad_g)))
-        qkp = _update_paged_cache(qkp, kq, pos, table, write_mask)
-        skp = _update_paged_cache(skp, ks, pos, table, write_mask)
-        qvp = _update_paged_cache(qvp, vq, pos, table, write_mask)
-        svp = _update_paged_cache(svp, vs, pos, table, write_mask)
+        qkp = _update_paged_cache(qkp, kq, pos, table, write_mask,
+                                  use_pallas)
+        skp = _update_paged_cache(skp, ks, pos, table, write_mask,
+                                  use_pallas)
+        qvp = _update_paged_cache(qvp, vq, pos, table, write_mask,
+                                  use_pallas)
+        svp = _update_paged_cache(svp, vs, pos, table, write_mask,
+                                  use_pallas)
         if prefill_self:
             if _route_flash(use_pallas, s, dh):
                 from how_to_optimize_gemm_tpu.ops.pallas_attention import (
@@ -501,8 +579,10 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
         k_pool, v_pool, table, pos = kv
         ps = k_pool.shape[1]
         t_virt = table.shape[1] * ps
-        k_pool = _update_paged_cache(k_pool, k, pos, table, write_mask)
-        v_pool = _update_paged_cache(v_pool, v, pos, table, write_mask)
+        k_pool = _update_paged_cache(k_pool, k, pos, table, write_mask,
+                                     use_pallas)
+        v_pool = _update_paged_cache(v_pool, v, pos, table, write_mask,
+                                     use_pallas)
         if prefill_self:
             if _route_flash(use_pallas, s, dh):
                 from how_to_optimize_gemm_tpu.ops.pallas_attention import (
@@ -539,10 +619,10 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
         pad_g = sk.shape[-1] - ks.shape[-1]
         ks = jnp.pad(ks, ((0, 0), (0, 0), (0, pad_g)))
         vs = jnp.pad(vs, ((0, 0), (0, 0), (0, pad_g)))
-        qk = _update_cache(qk, kq, pos, write_mask)
-        sk = _update_cache(sk, ks, pos, write_mask)
-        qv = _update_cache(qv, vq, pos, write_mask)
-        sv = _update_cache(sv, vs, pos, write_mask)
+        qk = _update_cache(qk, kq, pos, write_mask, use_pallas)
+        sk = _update_cache(sk, ks, pos, write_mask, use_pallas)
+        qv = _update_cache(qv, vq, pos, write_mask, use_pallas)
+        sv = _update_cache(sv, vs, pos, write_mask, use_pallas)
         t = qk.shape[1]
         if prefill_self:
             if _route_flash(use_pallas, s, dh):
@@ -593,8 +673,8 @@ def _block(layer, cfg: LlamaConfig, x, cos, sin, kv=None, mask=None,
             attn = _attention(q, k, v, mask)
     else:
         k_cache, v_cache, pos = kv
-        k_cache = _update_cache(k_cache, k, pos, write_mask)
-        v_cache = _update_cache(v_cache, v, pos, write_mask)
+        k_cache = _update_cache(k_cache, k, pos, write_mask, use_pallas)
+        v_cache = _update_cache(v_cache, v, pos, write_mask, use_pallas)
         t = k_cache.shape[1]
         # valid[t'] = t' <= pos + offset for each query offset
         if prefill_self:
