@@ -358,3 +358,35 @@ def test_stacked_decode_matches_unrolled():
             kref = jnp.stack([e[0] for e in nc])
             np.testing.assert_allclose(np.asarray(kS),
                                        np.asarray(kref), atol=1e-6)
+
+
+@pytest.mark.parametrize("kind", ["fp32", "bf16", "int8", "int4", "w4a8"])
+def test_fused_projections_bit_identical(params, kind):
+    """fuse_projections (wqkv + w_gate_up) must be BIT-identical to the
+    unfused forward: per-output-channel weight scales are unchanged by
+    output-dim concat, and activation quantization is per-row of the
+    shared input."""
+    tokens = jax.random.randint(jax.random.PRNGKey(7), (2, 8), 0,
+                                CFG.vocab)
+    p = params if kind == "fp32" else llama.requantize(params, kind)
+    ref = llama.forward(p, CFG, tokens, use_pallas=False)
+    out = llama.forward(llama.fuse_projections(p), CFG, tokens,
+                        use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_fused_projections_decode(params):
+    """Fused decode steps (cache path) match unfused exactly."""
+    fused = llama.fuse_projections(params)
+    tokens = jax.random.randint(jax.random.PRNGKey(8), (2, 5), 0,
+                                CFG.vocab)
+    cache_a = llama.init_kv_cache(CFG, batch=2, dtype=jnp.float32)
+    cache_b = llama.init_kv_cache(CFG, batch=2, dtype=jnp.float32)
+    for t in range(tokens.shape[1]):
+        la, cache_a = llama.decode_step(params, CFG, cache_a,
+                                        tokens[:, t:t + 1], jnp.int32(t),
+                                        use_pallas=False)
+        lb, cache_b = llama.decode_step(fused, CFG, cache_b,
+                                        tokens[:, t:t + 1], jnp.int32(t),
+                                        use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
