@@ -299,6 +299,124 @@ def speculative_decode_device(cfg_t, params_t, cfg_d, params_d, prompt,
     return out[:n_new], stats
 
 
+@functools.lru_cache(maxsize=32)
+def _lookup_device_block(cfg, gamma: int, ngram: int, rounds: int,
+                         use_pallas):
+    """Compiled prompt-lookup draft+verify block — NO draft model.
+
+    The draft is an n-gram lookup over the committed-token history:
+    the latest earlier occurrence of the current ``ngram``-token suffix
+    proposes the gamma tokens that followed it (prompt-lookup decoding
+    — weights-free, the draft that repetition-heavy workloads get for
+    free). Verification/acceptance is the greedy machinery of
+    ``_spec_device_block``, so the emitted stream is EXACTLY
+    target-only greedy regardless of lookup quality: a miss is just an
+    accept-0 round (one emitted token — a plain decode step that also
+    verified gamma proposals for free, since decode is
+    weight-streaming-bound and the verify reads the weights once
+    either way).
+
+    History discipline: ``hist`` (max_seq,) holds prompt + pending +
+    every emitted token; each round writes all gamma+1 greedy tokens
+    at ``n_tok`` and advances ``n_tok`` by accepted+1, so positions
+    >= n_tok may hold stale speculation. Match windows end strictly
+    before n_tok - 1, so staleness can only leak into a proposal's
+    continuation TAIL — costing accept rate, never exactness."""
+    t = cfg.max_seq
+
+    def propose(hist, n_tok, pending):
+        # suffix = last ngram committed tokens (hist[n_tok-1] = pending)
+        suffix = jax.lax.dynamic_slice(hist, (n_tok - ngram,), (ngram,))
+        # win[i] = hist[i .. i+ngram-1]; trailing rolled-in wrap rows are
+        # masked by the idx bound below
+        win = jnp.stack([jnp.roll(hist, -j) for j in range(ngram)], 1)
+        idx = jnp.arange(t)
+        s0 = n_tok - ngram                    # the suffix's own start
+        match = jnp.all(win == suffix[None, :], axis=1) & (idx < s0)
+        start = jnp.max(jnp.where(match, idx, -1))
+        cont = jax.lax.dynamic_slice(          # clamped when start = -1
+            hist, (start + ngram,), (gamma,))
+        return jnp.where(start >= 0, cont,
+                         jnp.full((gamma,), pending, jnp.int32))
+
+    @jax.jit
+    def block(params, t_cache, hist, n_tok, prev, pending, n):
+        def round_fn(carry, _):
+            t_cache, hist, n_tok, prev, pending, n = carry
+            drafts = propose(hist, n_tok, pending)          # (gamma,)
+            chain = jnp.concatenate([pending[None], drafts])[None]
+            v_logits, t_cache = llama.decode_step(
+                params, cfg, t_cache, chain, n, use_pallas=use_pallas)
+            greedy = jnp.argmax(v_logits[0], axis=-1).astype(jnp.int32)
+            match = drafts == greedy[:gamma]
+            a = jnp.argmin(jnp.concatenate(
+                [match, jnp.zeros(1, bool)])).astype(jnp.int32)
+            hist = jax.lax.dynamic_update_slice(hist, greedy, (n_tok,))
+            prev_n = jnp.where(a > 0, greedy[jnp.maximum(a - 1, 0)],
+                               pending)
+            return ((t_cache, hist, n_tok + a + 1, prev_n, greedy[a],
+                     n + a + 1), (greedy, a))
+
+        (t_cache, hist, n_tok, prev, pending, n), (toks, accepts) = \
+            jax.lax.scan(round_fn,
+                         (t_cache, hist, n_tok, prev, pending, n),
+                         None, length=rounds)
+        return t_cache, hist, n_tok, prev, pending, n, toks, accepts
+
+    return block
+
+
+def prompt_lookup_decode_device(cfg, params, prompt, n_new: int,
+                                gamma: int = 8, ngram: int = 3,
+                                rounds: int = 8,
+                                use_pallas: bool | None = None,
+                                cache_dtype=jnp.float32
+                                ) -> tuple[list[int], SpecStats]:
+    """Greedy decoding with a prompt-lookup (n-gram) draft — the
+    weights-free speculative configuration (VERDICT round-3 task 3).
+    Exactly ``greedy_decode``'s stream; see _lookup_device_block.
+    The target prev/pending/position bookkeeping is shared with
+    speculative_decode_device; ``stats.draft_calls`` counts gamma
+    proposals per round so accept_rate stays comparable."""
+    prompt = np.asarray(prompt, np.int32)
+    assert len(prompt) >= ngram, "prompt shorter than the match n-gram"
+    stats = SpecStats()
+
+    t_logits, t_cache = _prefill(cfg, params, prompt, use_pallas,
+                                 cache_dtype)
+    stats.target_calls += 1
+    pending = int(jnp.argmax(t_logits[0]))
+    out: list[int] = [pending]
+    stats.tokens += 1
+    n = len(prompt)
+
+    hist = jnp.zeros((cfg.max_seq,), jnp.int32)
+    hist = hist.at[:n].set(jnp.asarray(prompt))
+    hist = hist.at[n].set(pending)
+    n_tok = jnp.int32(n + 1)
+    prev = jnp.int32(int(prompt[-1]))
+    pending_j = jnp.int32(pending)
+    n_j = jnp.int32(n)
+    block = _lookup_device_block(cfg, gamma, ngram, rounds, use_pallas)
+
+    max_adv = rounds * (gamma + 1)
+    while len(out) < n_new and n + max_adv + gamma + 1 < cfg.max_seq:
+        t_cache, hist, n_tok, prev, pending_j, n_j, toks, accepts = \
+            block(params, t_cache, hist, n_tok, prev, pending_j, n_j)
+        toks = np.asarray(toks)
+        accepts = np.asarray(accepts)
+        stats.target_calls += rounds
+        stats.draft_calls += rounds * gamma
+        for r in range(rounds):
+            a = int(accepts[r])
+            emitted = toks[r, :a + 1].tolist()
+            stats.accepted += a
+            out.extend(emitted)
+            stats.tokens += len(emitted)
+        n = int(n_j)
+    return out[:n_new], stats
+
+
 def _round_probs(logits, temperature, top_k, top_p):
     """Filtered softmax rows on device -> host float64 (…, V)."""
     from how_to_optimize_gemm_tpu.parallel.serving import filter_logits
@@ -708,8 +826,14 @@ def main(argv=None):
     ap.add_argument("--weight-kind", default="w4a8")
     ap.add_argument("--draft", default="trunc:4",
                     help="'self' (accept-rate ~1 upper bound), "
-                         "'trunc:K' (target's first K layers), or "
-                         "'random:K' (fresh K-layer d/4 model)")
+                         "'trunc:K' (target's first K layers), "
+                         "'random:K' (fresh K-layer d/4 model), or "
+                         "'lookup:N' (weights-free prompt-lookup with "
+                         "N-gram matching — no draft model at all)")
+    ap.add_argument("--prompt", default="ramp",
+                    help="'ramp' (arange mod vocab) or 'loop:P' "
+                         "(period-P repeating tokens — the "
+                         "repetition-heavy workload for lookup)")
     args = ap.parse_args(argv)
 
     cfg_t = llama.LlamaConfig(
@@ -718,7 +842,12 @@ def main(argv=None):
         d_ff=args.d_ff, max_seq=args.max_seq,
         weight_kind=args.weight_kind)
     params_t = llama.init_params(jax.random.PRNGKey(0), cfg_t)
-    if args.draft == "self":
+    lookup_ngram = None
+    if args.draft.startswith("lookup"):
+        lookup_ngram = int(args.draft.split(":")[1]) if ":" in args.draft \
+            else 3
+        cfg_d = params_d = None
+    elif args.draft == "self":
         cfg_d, params_d = cfg_t, params_t
     elif args.draft.startswith("trunc:"):
         cfg_d, params_d = truncated_draft(cfg_t, params_t,
@@ -729,7 +858,11 @@ def main(argv=None):
                            n_heads=8, n_kv_heads=min(8, args.n_kv_heads),
                            d_ff=args.d_ff // 4)
         params_d = llama.init_params(jax.random.PRNGKey(1), cfg_d)
-    prompt = (np.arange(1, 33) % cfg_t.vocab).astype(np.int32)
+    if args.prompt.startswith("loop:"):
+        period = int(args.prompt[5:])
+        prompt = (np.arange(64) % period + 7).astype(np.int32)
+    else:
+        prompt = (np.arange(1, 33) % cfg_t.vocab).astype(np.int32)
 
     def timed(fn):
         fn()                                   # compile + warm
@@ -743,10 +876,17 @@ def main(argv=None):
     print(f"plain windowed decode (W={args.window}): "
           f"{plain_tps:.1f} tok/s", flush=True)
     for gamma in args.gammas:
-        (out, stats), tps = timed(lambda: speculative_decode_device(
-            cfg_t, params_t, cfg_d, params_d, prompt, args.n_new,
-            gamma=gamma, rounds=args.rounds,
-            cache_dtype=jnp.bfloat16))
+        if lookup_ngram is not None:
+            (out, stats), tps = timed(
+                lambda: prompt_lookup_decode_device(
+                    cfg_t, params_t, prompt, args.n_new, gamma=gamma,
+                    ngram=lookup_ngram, rounds=args.rounds,
+                    cache_dtype=jnp.bfloat16))
+        else:
+            (out, stats), tps = timed(lambda: speculative_decode_device(
+                cfg_t, params_t, cfg_d, params_d, prompt, args.n_new,
+                gamma=gamma, rounds=args.rounds,
+                cache_dtype=jnp.bfloat16))
         ok = out == ref[:len(out)]
         tpv = stats.tokens_per_target_call
         # break-even: a spec round costs t_round; it must emit at least
