@@ -334,7 +334,7 @@ def _route_decode(use_pallas, t: int, dh: int, kvh: int,
     return _route_flash(use_pallas, t, dh) and kernel_ok and worth_it
 
 
-def _route_kv_write(use_pallas, s: int) -> bool:
+def _route_kv_write(use_pallas, s: int, supported: bool = True) -> bool:
     """Decode-width cache writes ride the in-place Pallas DMA kernel
     (ops/pallas_kv_update): the write becomes S tiny row DMAs into the
     ALIASED cache buffer instead of a scatter XLA wraps in full-cache
@@ -342,10 +342,12 @@ def _route_kv_write(use_pallas, s: int) -> bool:
     ~3.3 ms/step decode tax of the round-3 anatomy (RESULTS.md). Chip
     microbench, one 16 MB 7B layer cache: 0.31 vs 3.06 us/update.
     Routed at decode/spec widths only (small S): prefill writes are
-    one-shot full-width updates where the copy IS the write."""
+    one-shot full-width updates where the copy IS the write.
+    ``supported``: the layout gate (pallas_kv_update.kernel_supported —
+    Mosaic tiling constraints, chip-caught on a d_head=64 model)."""
     from how_to_optimize_gemm_tpu.utils.env import on_tpu
     enabled = use_pallas if use_pallas is not None else on_tpu()
-    return bool(enabled) and s <= 8
+    return bool(enabled) and s <= 8 and supported
 
 
 def _update_cache(cache, new, pos, write_mask=None, use_pallas=None):
@@ -363,8 +365,10 @@ def _update_cache(cache, new, pos, write_mask=None, use_pallas=None):
     the mechanism behind single-call batched prefill (one slot writes its
     whole prompt; live slots are unaffected)."""
     new = new.astype(cache.dtype)
-    if _route_kv_write(use_pallas, new.shape[1]):
-        from how_to_optimize_gemm_tpu.ops.pallas_kv_update import kv_update
+    from how_to_optimize_gemm_tpu.ops.pallas_kv_update import (
+        kernel_supported, kv_update)
+    if _route_kv_write(use_pallas, new.shape[1],
+                       kernel_supported(cache.shape, cache.dtype)):
         return kv_update(cache, new, pos, write_mask)
     if write_mask is not None:
         updated = _update_cache(cache, new, pos)
@@ -407,12 +411,13 @@ def _update_paged_cache(pool, new, pos, table, write_mask=None,
     offs = positions % ps
     if write_mask is not None:
         pages = jnp.where(write_mask[:, None], pages, 0)
-    if _route_kv_write(use_pallas, s):
+    from how_to_optimize_gemm_tpu.ops.pallas_kv_update import (
+        kernel_supported, paged_kv_update)
+    if _route_kv_write(use_pallas, s,
+                       kernel_supported(pool.shape, pool.dtype)):
         # Kernel skips page-0 rows outright (masked slots above, plus
         # unallocated chunks) — "write trash" and "don't write" are
         # observably identical, minus the DMA.
-        from how_to_optimize_gemm_tpu.ops.pallas_kv_update import (
-            paged_kv_update)
         return paged_kv_update(pool, new, pages, offs)
     return pool.at[pages.reshape(-1), offs.reshape(-1)].set(
         new.reshape((b * s,) + new.shape[2:]))

@@ -80,22 +80,58 @@ def _kv_update_call(cache, new, pos, mask, interpret=False):
     )(pos, mask, new.astype(cache.dtype), cache)
 
 
+def row_width(shape) -> int:
+    """Flattened per-token row width of a (B, T, *rest) cache."""
+    w = 1
+    for d in shape[2:]:
+        w *= d
+    return w
+
+
+def kernel_supported(shape, dtype) -> bool:
+    """Can the compiled kernel serve this cache layout? The per-token
+    row is reshaped to (row//128, 128) — the tiled (sublane, lane)
+    pair the DMA copies whole — so the row must be a 128-multiple AND
+    its sublane count a multiple of the dtype's packing (bf16 packs 2
+    sublanes per word, int8 4; chip-caught: a logical sublane dim not
+    aligned to the packing cannot be sliced). Every served width
+    passes (7B bf16: row 4096 -> 32 sublanes; d_head-64 GQA: 512 -> 4;
+    KV8 f32 scales: 128 -> 1 at packing 1)."""
+    row = row_width(shape)
+    if row % 128:
+        return False
+    packing = max(1, 4 // jnp.dtype(dtype).itemsize)
+    return (row // 128) % packing == 0
+
+
 def kv_update(cache, new, pos, write_mask=None, interpret=None):
     """cache (B, T, *rest) <- new (B, S, *rest) at per-slot position
     ``pos`` ((B,) int32 or scalar), IN PLACE (aliased output; the input
     buffer must be dead after this call — true inside decode steps,
     where the old cache value has no other reader).
 
+    The trailing dims are reshaped to (row//128, 128) before the kernel
+    (free: the cache is dense row-major) — the tiled (sublane, lane)
+    pair Mosaic requires the DMA slice keep whole AND aligned
+    (chip-caught twice: a (8, 64) head-dim-64 row misaligns the lane
+    dim; a (1, row) bf16 row misaligns the 2-sublane packing). Callers
+    gate on ``kernel_supported``; per-token slicing then only touches
+    untiled leading dims.
+
     Semantics match models.llama._update_cache exactly: rows landing
     outside [0, T) are dropped per row, like the scatter path."""
-    b = cache.shape[0]
+    b, t = cache.shape[:2]
     posv = (jnp.full((b,), pos, jnp.int32) if jnp.ndim(pos) == 0
             else pos.astype(jnp.int32))
     mask = (jnp.ones((b,), jnp.int32) if write_mask is None
             else write_mask.astype(jnp.int32))
     if interpret is None:
         interpret = default_interpret()
-    return _kv_update_call(cache, new, posv, mask, interpret=interpret)
+    sub = row_width(cache.shape) // 128
+    flat = _kv_update_call(cache.reshape(b, t, sub, 128),
+                           new.reshape(b, new.shape[1], sub, 128),
+                           posv, mask, interpret=interpret)
+    return flat.reshape(cache.shape)
 
 
 def _kernel_paged(s: int, tab_ref, msk_ref, new_ref, pool_any, out_any,
@@ -152,5 +188,10 @@ def paged_kv_update(pool, new, pages, offs, write_mask=None,
                     axis=-1)  # (B, S, 2)
     if interpret is None:
         interpret = default_interpret()
-    return _paged_kv_update_call(pool, new, tab, mask,
+    npages, ps = pool.shape[:2]
+    b, s = new.shape[:2]
+    sub = row_width(pool.shape) // 128
+    flat = _paged_kv_update_call(pool.reshape(npages, ps, sub, 128),
+                                 new.reshape(b, s, sub, 128), tab, mask,
                                  interpret=interpret)
+    return flat.reshape(pool.shape)

@@ -58,6 +58,33 @@ def scaling_report(cfg: llama.LlamaConfig, mesh_shapes, batch_per_dp=8,
     return points
 
 
+def strong_scaling_report(cfg: llama.LlamaConfig, tps, global_batch=8,
+                          steps=64, use_pallas=None) -> list[ScalePoint]:
+    """STRONG scaling: fixed global batch, growing tp — the regime where
+    the >=85% target is actually hard (per-chip work shrinks while the
+    per-layer all-reduce count stays constant, so efficiency is a direct
+    read of collective overlap). Ideal: step time falls 1/N at fixed
+    work, i.e. tps(N) = N * tps(1) — same efficiency formula as the
+    weak-scaling report, different contract (batch does NOT grow)."""
+    points: list[ScalePoint] = []
+    base = None
+    for tp in tps:
+        devices = jax.devices()[:tp]
+        if len(devices) < tp:
+            raise ValueError(f"need {tp} devices, have {len(devices)}")
+        mesh = make_mesh(dp=1, tp=tp, devices=devices, allow_subset=True)
+        params = llama.init_params(jax.random.PRNGKey(0), cfg)
+        tps_v = decode_tokens_per_sec(cfg, params, batch=global_batch,
+                                      steps=steps, use_pallas=use_pallas,
+                                      mesh=mesh)
+        if base is None:
+            base = tps_v
+        points.append(ScalePoint(n_devices=tp, dp=1, tp=tp,
+                                 tokens_per_s=tps_v,
+                                 efficiency=tps_v / (tp * base)))
+    return points
+
+
 def main(argv=None):
     import argparse
 
@@ -65,24 +92,35 @@ def main(argv=None):
     ap.add_argument("--d-model", type=int, default=256)
     ap.add_argument("--n-layers", type=int, default=4)
     ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--regime", default="both",
+                    choices=["weak", "strong", "both"])
     args = ap.parse_args(argv)
 
     n = len(jax.devices())
-    shapes = [(1, 1)]
-    tp = 2
-    while tp <= n:
-        shapes.append((1, tp))
-        tp *= 2
-    if n >= 4:
-        shapes.append((n // 2 // max(1, n // 4), 2))  # mixed dp x tp
     cfg = llama.LlamaConfig(
         vocab=1024, d_model=args.d_model, n_layers=args.n_layers,
         n_heads=8, n_kv_heads=8, d_ff=args.d_model * 3, max_seq=256,
         weight_kind="fp32")
-    for pt in scaling_report(cfg, shapes, steps=args.steps):
-        print(f"devices={pt.n_devices:2d} (dp={pt.dp} tp={pt.tp}): "
-              f"{pt.tokens_per_s:9.1f} tok/s  "
-              f"efficiency={pt.efficiency:5.1%}")
+    if args.regime in ("weak", "both"):
+        shapes = [(1, 1)]
+        tp = 2
+        while tp <= n:
+            shapes.append((1, tp))
+            tp *= 2
+        if n >= 4:
+            shapes.append((n // 2 // max(1, n // 4), 2))  # mixed dp x tp
+        print("weak scaling (batch grows with dp):")
+        for pt in scaling_report(cfg, shapes, steps=args.steps):
+            print(f"devices={pt.n_devices:2d} (dp={pt.dp} tp={pt.tp}): "
+                  f"{pt.tokens_per_s:9.1f} tok/s  "
+                  f"efficiency={pt.efficiency:5.1%}")
+    if args.regime in ("strong", "both"):
+        tps = [t for t in (1, 2, 4, 8) if t <= n]
+        print("strong scaling (fixed global batch, growing tp):")
+        for pt in strong_scaling_report(cfg, tps, steps=args.steps):
+            print(f"devices={pt.n_devices:2d} (dp={pt.dp} tp={pt.tp}): "
+                  f"{pt.tokens_per_s:9.1f} tok/s  "
+                  f"efficiency={pt.efficiency:5.1%}")
 
 
 if __name__ == "__main__":

@@ -888,6 +888,14 @@ def main(argv=None):
                 gamma=gamma, rounds=args.rounds,
                 cache_dtype=jnp.bfloat16))
         ok = out == ref[:len(out)]
+        # A False here with a LONG shared prefix is (on TPU) a greedy
+        # near-tie flipped by shape-dependent float rounding between
+        # the (1,1) plain step and the (1,gamma+1) verify (measured:
+        # gap 0.005 on a bf16 random-init model at the flip point;
+        # the machinery is exact on CPU at every config tested). An
+        # immediate divergence would be a bookkeeping bug.
+        div = next((i for i, (a, b) in enumerate(zip(out, ref))
+                    if a != b), None)
         tpv = stats.tokens_per_target_call
         # break-even: a spec round costs t_round; it must emit at least
         # t_round / t_plain tokens. Random-init truncated drafts accept
@@ -901,7 +909,9 @@ def main(argv=None):
               f"draft={args.draft}: {tps:.1f} tok/s "
               f"({tps / plain_tps:.2f}x plain; accept rate "
               f"{stats.accept_rate:.2f}, {tpv:.2f} tok/verify, "
-              f"greedy-exact={ok}); round={t_round_ms:.1f} ms -> "
+              f"greedy-exact={ok}"
+              + (f" tie-div@{div}" if div is not None else "")
+              + f"); round={t_round_ms:.1f} ms -> "
               f"wins iff E[tok/round] > {need:.2f}", flush=True)
 
 

@@ -126,3 +126,17 @@ def test_paged_mask_and_multitoken():
     got = kvu.paged_kv_update(pool, new, pages, offs, write_mask=mask,
                               interpret=True)
     np.testing.assert_array_equal(np.asarray(ref[1:]), np.asarray(got[1:]))
+
+
+def test_contig_dhead64_flattened_row():
+    """d_head=64 caches (row (KVH, 64)) must work via the flattened-row
+    layout — Mosaic rejects a trailing-64 slice unflattened
+    (chip-caught round 4)."""
+    b, t, kvh, d = 2, 32, 8, 64
+    k0, k1 = jax.random.split(jax.random.PRNGKey(7))
+    cache = _mk(k0, (b, t, kvh, d), jnp.bfloat16)
+    new = _mk(k1, (b, 1, kvh, d), jnp.float32)
+    pos = jnp.array([3, 31], jnp.int32)
+    ref = llama._update_cache(cache, new, pos)
+    got = kvu.kv_update(cache, new, pos, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
