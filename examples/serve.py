@@ -60,14 +60,28 @@ def main():
                     help="chunked prefill: admit prompts in fixed "
                          "C-token chunks (one compiled prefill shape "
                          "for all lengths)")
+    ap.add_argument("--n-experts", type=int, default=0,
+                    help="Mixtral-shape routed MLP: top-k of N SwiGLU "
+                         "experts (expert stacks follow --weight-kind)")
+    ap.add_argument("--moe-top-k", type=int, default=2)
+    ap.add_argument("--moe-ragged", action="store_true",
+                    help="route prefill-scale MoE through the ragged "
+                         "grouped GEMM (cost-based fallback at decode)")
+    ap.add_argument("--d-ff", type=int, default=None,
+                    help="MLP width (default d_model*11/4; for a "
+                         "dense-FLOP-equivalent MoE use "
+                         "d_ff = dense_d_ff / top_k)")
     args = ap.parse_args()
     if args.spec_gamma and args.temperature > 0:
         ap.error("--spec-gamma requires greedy (--temperature 0)")
 
     cfg = llama.LlamaConfig(
         vocab=32000, d_model=args.d_model, n_layers=args.n_layers,
-        n_heads=16, n_kv_heads=4, d_ff=args.d_model * 11 // 4,
-        max_seq=args.max_seq, weight_kind=args.weight_kind)
+        n_heads=16, n_kv_heads=4,
+        d_ff=args.d_ff or args.d_model * 11 // 4,
+        max_seq=args.max_seq, weight_kind=args.weight_kind,
+        n_experts=args.n_experts, moe_top_k=args.moe_top_k,
+        moe_ragged=args.moe_ragged)
     params = llama.init_params(jax.random.PRNGKey(0), cfg)
 
     eng = ServingEngine(cfg, params, batch_slots=args.slots,
