@@ -286,3 +286,94 @@ def ring_attention(q, k, v, mesh: Mesh, axis: str = "tp",
     n = mesh.shape[axis]
     assert q.shape[2] % n == 0, (q.shape, n)
     return _ring_jit(q, k, v, mesh, axis, causal)
+
+
+def main():
+    """Chip measurement of the ring's per-visit unit at ONE shard.
+
+    The ring itself needs n devices; its per-device inner loop does
+    not — each hop is exactly `_flash_fwd_lse(non-causal) + _combine`
+    (forward) / `_flash_bwd(non-causal) + accumulate` (backward) on the
+    local shard. This times that unit on the real chip at SP shard
+    shapes (e.g. S=65536 over n=8 -> Sl=8192), so the per-hop compute
+    budget the ICI transfer must hide under is a measured number, not
+    an estimate. Chained timing per the relay rule (>=0.5 s/launch,
+    operands barriered so licm can't hoist the loop-invariant visit)."""
+    from how_to_optimize_gemm_tpu.utils import timing
+
+    B, H, KVH, D = 1, 16, 4, 128
+    key = jax.random.PRNGKey(0)
+    print("ring per-visit unit (B=1 H=16 KVH=4 D=128, blk=512):")
+    for sl in (4096, 8192):
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (B, H, sl, D), jnp.float32)
+        k = jax.random.normal(kk, (B, KVH, sl, D), jnp.bfloat16)
+        v = jax.random.normal(kv, (B, KVH, sl, D), jnp.bfloat16)
+        blk = 512
+        # one non-causal visit + the splitting combine — the ring body
+        flops = 4.0 * B * H * sl * sl * D
+
+        def fwd_iters(iters, q=q, k=k, v=v, blk=blk):
+            @jax.jit
+            def chained(q, k, v):
+                o, lse = _flash_fwd_lse(q, k, v, True, blk, blk, False,
+                                        None)
+                o = o.astype(jnp.float32)
+
+                def body(_, carry):
+                    (q_, k_, v_), o, lse = carry
+                    o_i, lse_i = _flash_fwd_lse(q_, k_, v_, False, blk,
+                                                blk, False, None)
+                    o, lse = _combine(o, lse, o_i, lse_i)
+                    return (jax.lax.optimization_barrier((q_, k_, v_)),
+                            o, lse)
+
+                _, o, lse = jax.lax.fori_loop(
+                    0, iters, body, ((q, k, v), o, lse))
+                return jnp.sum(o) + jnp.sum(lse)
+            return lambda: chained(q, k, v)
+
+        def bwd_iters(iters, q=q, k=k, v=v, blk=blk):
+            o, lse = jax.jit(lambda q, k, v: _flash_fwd_lse(
+                q, k, v, False, blk, blk, False, None))(q, k, v)
+            o = o.astype(jnp.float32)
+            do = jnp.ones_like(o)
+
+            @jax.jit
+            def chained(q, k, v, o, lse, do):
+                dq0 = jnp.zeros_like(q)
+
+                def body(_, carry):
+                    (q_, k_, v_, o_, lse_, do_), dq, dk, dv = carry
+                    dq_i, dk_i, dv_i = _flash_bwd(
+                        q_, k_, v_, o_, lse_, do_, False, blk, blk,
+                        False, None)
+                    return (jax.lax.optimization_barrier(
+                        (q_, k_, v_, o_, lse_, do_)),
+                        dq + dq_i, dk + dk_i, dv + dv_i)
+
+                _, dq, dk, dv = jax.lax.fori_loop(
+                    0, iters, body,
+                    ((q, k, v, o, lse, do), dq0,
+                     jnp.zeros(k.shape, jnp.float32),
+                     jnp.zeros(v.shape, jnp.float32)))
+                return jnp.sum(dq) + jnp.sum(dk) + jnp.sum(dv)
+            return lambda: chained(q, k, v, o, lse, do)
+
+        for name, make, mult in (("fwd visit+combine", fwd_iters, 1.0),
+                                 ("bwd visit (dq,dk,dv)", bwd_iters,
+                                  2.5)):
+            # one-shot chain length: size the launch to ~0.7 s device
+            # time from a 120 TFLOP/s planning rate (each fori length
+            # is a fresh compile on this relay — adaptive growth would
+            # double the compile bill for attention-sized kernels)
+            iters = max(8, int(0.7 / (flops * mult / 120e12)))
+            t = timing.measure(make(iters), repeats=3, warmup=1)
+            per = t / iters
+            tf = flops * mult / per / 1e12
+            print(f"  Sl={sl} {name}: {per * 1e3:.3f} ms/visit "
+                  f"({tf:.1f} TFLOP/s)")
+
+
+if __name__ == "__main__":
+    main()
