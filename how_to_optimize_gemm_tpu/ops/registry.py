@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from how_to_optimize_gemm_tpu.ops import (
     naive_vpu,
+    pallas_emit_pipeline,
     pallas_int4,
     pallas_int8,
     pallas_k_blocked,
@@ -282,6 +283,23 @@ _register(Rung(
         "VMEM. 334/358/362 TOPS at p=2048/3584/4096 vs the XLA vendor "
         "dot's 270-349/366/347-362 — wins at 4096 where rungs 08-13 "
         "all failed, parity elsewhere (see _kernel_bt)"))
+
+_register(Rung(
+    name="17_hand_pipeline_int8", dtype="int8",
+    run=lambda qa, sa, qbt, sb, c, **kw:
+        pallas_emit_pipeline.mmult_q_bt_hand(qa, sa, qbt, sb, c, **kw),
+    prepare=pallas_manual_dma.prepare_packed, effective=_packed_effective,
+    gate_rel=1e-4, bytes_per_input_elt=1.0, regression=True,
+    doc="REGRESSION (kept): rung 14's arithmetic under a HAND "
+        "emit_pipeline schedule — the ladder's last deferred lever, "
+        "built and measured. Every buffer-depth/lookahead config loses "
+        "~1% to the auto pipeliner at p=4096 (351.4-353.6k vs 356.8k "
+        "same-session), and the knobs order INVERTED: the config "
+        "closest to auto behavior is the fastest, so the auto "
+        "pipeliner was already hiding what this rung attacks. See "
+        "pallas_emit_pipeline docstring + RESULTS.md 4096-contest "
+        "closure"))
+
 
 def _bf16_bt_effective(ops):
     a16, bt16 = ops

@@ -21,6 +21,36 @@ def on_tpu() -> bool:
         return False
 
 
+@functools.cache
+def ensure_interpret_tpu_info() -> None:
+    """Register a v5e-shaped TpuInfo for non-TPU device kinds.
+
+    ``pltpu.emit_pipeline`` queries the chip generation at TRACE time
+    (DMA tiling geometry), which raises on the CPU backend even in
+    interpret mode. JAX ships a public escape hatch — the
+    ``tpu_info.registry`` dict consulted for unknown device kinds —
+    so interpret-mode runs (tests, the armv7-analogue CPU ladder)
+    model the same v5e the compiled path targets."""
+    from jax._src.pallas.mosaic import tpu_info
+
+    def _v5e_like():
+        return tpu_info.TpuInfo(
+            chip_version=tpu_info.ChipVersion.TPU_V5E,
+            generation=5, num_cores=1, num_lanes=128, num_sublanes=8,
+            mxu_column_size=128,
+            vmem_capacity_bytes=128 * 1024 * 1024,
+            cmem_capacity_bytes=0, smem_capacity_bytes=1024 * 1024,
+            hbm_capacity_bytes=17_200_000_000,
+            mem_bw_bytes_per_second=int(8.20e11),
+            bf16_ops_per_second=int(1.97e14),
+            int8_ops_per_second=int(3.94e14),
+            fp8_ops_per_second=0,
+            int4_ops_per_second=int(7.88e14))
+
+    for kind in ("cpu", "gpu", "interpreter"):
+        tpu_info.registry.setdefault(kind, _v5e_like)
+
+
 def default_interpret(interpret: bool | None = None) -> bool:
     """Resolve the interpret flag for a pallas_call.
 
