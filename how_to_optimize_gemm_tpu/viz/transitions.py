@@ -41,6 +41,7 @@ LADDER_ORDER = [
     ("12_resident_int8", "int8"),
     ("13_tiled_resident_int8", "int8"),
     ("14_packed_alias_int8", "int8"),
+    ("17_hand_pipeline_int8", "int8"),   # round-4 regression (kept)
     ("15_packed_alias_bf16", "bf16"),
     ("16_packed_alias_fp32", "fp32"),
 ]
