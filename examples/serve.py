@@ -56,6 +56,15 @@ def main():
     ap.add_argument("--spec-draft-layers", type=int, default=4,
                     help="draft = the target's first K layers "
                          "(early-exit; shares embed/head)")
+    ap.add_argument("--spec-lookup", type=int, default=0, metavar="N",
+                    help="> 0: weights-free prompt-lookup speculative "
+                         "decoding (run_spec_lookup) with N-gram "
+                         "matching; uses --spec-gamma/--spec-rounds, "
+                         "no draft model")
+    ap.add_argument("--prompt-style", default="random",
+                    choices=["random", "loop"],
+                    help="loop: periodic prompts (the repetition-heavy "
+                         "regime where prompt lookup pays)")
     ap.add_argument("--prefill-chunk", type=int, default=None,
                     help="chunked prefill: admit prompts in fixed "
                          "C-token chunks (one compiled prefill shape "
@@ -72,8 +81,8 @@ def main():
                          "dense-FLOP-equivalent MoE use "
                          "d_ff = dense_d_ff / top_k)")
     args = ap.parse_args()
-    if args.spec_gamma and args.temperature > 0:
-        ap.error("--spec-gamma requires greedy (--temperature 0)")
+    if (args.spec_gamma or args.spec_lookup) and args.temperature > 0:
+        ap.error("speculative modes require greedy (--temperature 0)")
 
     cfg = llama.LlamaConfig(
         vocab=32000, d_model=args.d_model, n_layers=args.n_layers,
@@ -92,12 +101,22 @@ def main():
                         alloc_backend=args.alloc_backend,
                         prefill_chunk=args.prefill_chunk)
     rng = np.random.default_rng(0)
-    mk = lambda: [Request(uid=i,
-                          prompt=list(rng.integers(
-                              1, 30000, args.prompt_len)),
+
+    def prompt_of(i):
+        if args.prompt_style == "loop":
+            period = list(rng.integers(1, 30000, 4 + i % 3))
+            reps = args.prompt_len // len(period) + 1
+            return (period * reps)[:args.prompt_len]
+        return list(rng.integers(1, 30000, args.prompt_len))
+
+    mk = lambda: [Request(uid=i, prompt=prompt_of(i),
                           max_new=args.max_new)
                   for i in range(args.requests)]
-    if args.spec_gamma:
+    if args.spec_lookup:
+        run = lambda: eng.run_spec_lookup(mk(), gamma=args.spec_gamma
+                                          or 4, ngram=args.spec_lookup,
+                                          rounds=args.spec_rounds)
+    elif args.spec_gamma:
         from how_to_optimize_gemm_tpu.parallel.speculative import (
             truncated_draft)
         cfg_d, params_d = truncated_draft(cfg, params,

@@ -564,6 +564,188 @@ class ServingEngine:
 
         return block
 
+    def _spec_block_lookup(self, gamma: int, ngram: int, rounds: int):
+        """Batched prompt-lookup draft+verify block: the weights-free
+        draft (speculative._lookup_device_block's n-gram propose,
+        vmapped over slots) under the engine's greedy accept machinery.
+        No draft model, no draft cache, no draft FLOPs — an accept-0
+        round IS a plain decode step that verified gamma proposals for
+        free. hist rows hold prompt + emitted + pending per slot; the
+        write pointer is always pos + 1 (hist[pos] = pending), so no
+        separate pointer state is carried."""
+        cfg = self.cfg
+        use_pallas = self.use_pallas
+        t = cfg.max_seq
+
+        def propose(hist, n_tok, pending):
+            suffix = jax.lax.dynamic_slice(hist, (n_tok - ngram,),
+                                           (ngram,))
+            win = jnp.stack([jnp.roll(hist, -j) for j in range(ngram)],
+                            1)
+            idx = jnp.arange(t)
+            s0 = n_tok - ngram
+            match = jnp.all(win == suffix[None, :], axis=1) & (idx < s0)
+            start = jnp.max(jnp.where(match, idx, -1))
+            cont = jax.lax.dynamic_slice(hist, (start + ngram,),
+                                         (gamma,))
+            return jnp.where(start >= 0, cont,
+                             jnp.full((gamma,), pending, jnp.int32))
+
+        propose_b = jax.vmap(propose)
+
+        def write_row(hist, row, n_tok):
+            return jax.lax.dynamic_update_slice(hist, row, (n_tok,))
+
+        write_b = jax.vmap(write_row)
+
+        @jax.jit
+        def block(params, t_cache, hist, prev, pending, pos,
+                  table=None):
+            b = prev.shape[0]
+
+            def round_fn(carry, _):
+                t_cache, hist, prev, pending, pos = carry
+                n_tok = pos + 1                       # hist[pos]=pending
+                drafts = propose_b(hist, n_tok, pending)  # (B, gamma)
+                chain = jnp.concatenate([pending[:, None], drafts],
+                                        axis=1)       # (B, gamma+1)
+                v_logits, t_cache = llama.decode_step(
+                    params, cfg, t_cache, chain, pos,
+                    use_pallas=use_pallas, table=table)
+                greedy = jnp.argmax(v_logits, axis=-1).astype(
+                    jnp.int32)                        # (B, gamma+1)
+                match = drafts == greedy[:, :gamma]
+                a = jnp.argmin(jnp.concatenate(
+                    [match, jnp.zeros((b, 1), bool)], axis=1),
+                    axis=1).astype(jnp.int32)         # (B,)
+                rows = jnp.arange(b)
+                hist = write_b(hist, greedy, n_tok)
+                prev_n = jnp.where(a > 0,
+                                   greedy[rows, jnp.maximum(a - 1, 0)],
+                                   pending)
+                return ((t_cache, hist, prev_n, greedy[rows, a],
+                         pos + a + 1), (greedy, a))
+
+            (t_cache, hist, prev, pending, pos), (toks, accepts) = \
+                jax.lax.scan(round_fn,
+                             (t_cache, hist, prev, pending, pos),
+                             None, length=rounds)
+            return t_cache, hist, prev, pending, pos, toks, accepts
+
+        return block
+
+    def run_spec_lookup(self, requests: list[Request],
+                        eos_id: int | None = None, gamma: int = 4,
+                        ngram: int = 3,
+                        rounds: int = 4) -> list[Request]:
+        """Serve with PROMPT-LOOKUP speculative decoding under
+        continuous batching — the weights-free winning configuration
+        (RESULTS.md round 4: 1.13-1.30x over plain windowed decode on
+        repetition-heavy prompts at 7B w4a8) composed with the engine:
+        paged pools, preemption, prefix cache and admission all work
+        unchanged, because the draft has NO model and NO cache — only
+        per-slot history rows rebuilt at admission. Greedy only; the
+        emitted stream is IDENTICAL to ``run()``'s (a lookup miss is an
+        accept-0 round), asserted in tests."""
+        import time as _time
+        assert self.lora is None, "spec mode does not compose with LoRA"
+        if not hasattr(self, "_spec_blocks"):
+            self._spec_blocks = {}
+        cache_key = ("lookup", gamma, ngram, rounds)
+        if cache_key not in self._spec_blocks:
+            self._spec_blocks[cache_key] = self._spec_block_lookup(
+                gamma, ngram, rounds)
+        block = self._spec_blocks[cache_key]
+
+        hist = np.zeros((self.batch, self.cfg.max_seq), np.int32)
+        prev_tok = np.zeros(self.batch, np.int32)
+
+        def admit(queue):
+            before = [self.slot_req[s] for s in range(self.batch)]
+            self._admit(queue)
+            for s in range(self.batch):
+                req = self.slot_req[s]
+                if req is None or req is before[s]:
+                    continue
+                full = req.prompt + req.out     # incl. pending last
+                hist[s, :] = 0
+                hist[s, :len(full)] = full
+                prev_tok[s] = full[-2] if len(full) > 1 else 0
+
+        queue = list(requests)
+        now = _time.perf_counter()
+        for r in queue:
+            r.t_submit = now
+        self._eos_id = eos_id
+        admit(queue)
+        max_adv = rounds * (gamma + 1) + gamma + 1
+        while any(r is not None for r in self.slot_req):
+            active = [s for s in range(self.batch)
+                      if self.slot_req[s] is not None]
+            room = self.cfg.max_seq - 1 - max(int(self.slot_pos[s])
+                                              for s in active)
+            if room < max_adv:
+                w = 1 << (max(1, min(8, room)).bit_length() - 1)
+                self._plain_window(queue, w)
+                admit(queue)
+                continue
+            if self.paged:
+                for s in active:
+                    while not self.alloc.grow(
+                            s, int(self.slot_pos[s]) + max_adv):
+                        if not self._preempt_newest(s, queue):
+                            raise RuntimeError(
+                                "spec block needs pages with no slot "
+                                "to preempt; raise cache_pages")
+                if all(r is None for r in self.slot_req):
+                    admit(queue)
+                    continue
+            table = (jnp.asarray(self.table_np) if self.paged
+                     else None)
+            (self.cache, hist_j, prev_j, pend_j, pos_j, toks,
+             accepts) = block(self.params, self.cache,
+                              jnp.asarray(hist),
+                              jnp.asarray(prev_tok),
+                              jnp.asarray(self.slot_tok),
+                              jnp.asarray(self.slot_pos), table)
+            hist = np.array(hist_j)     # writable copy: admit() edits rows
+            toks = np.asarray(toks)
+            accepts = np.asarray(accepts)
+            prev_np = np.asarray(prev_j)
+            pend_np = np.asarray(pend_j)
+            pos_np = np.asarray(pos_j)
+            for s in list(active):
+                req = self.slot_req[s]
+                done = False
+                for r in range(rounds):
+                    a = int(accepts[r, s])
+                    for tok in toks[r, s, :a + 1].tolist():
+                        self.slot_pos[s] += 1
+                        req.out.append(tok)
+                        hit_eos = eos_id is not None and tok == eos_id
+                        full = self.slot_pos[s] + 1 >= self.cfg.max_seq
+                        if (len(req.out) >= req.max_new or hit_eos
+                                or full):
+                            done = True
+                            break
+                        self.slot_tok[s] = tok
+                    if done:
+                        break
+                if done:
+                    req.done = True
+                    req.t_done = _time.perf_counter()
+                    self._release_pages(s)
+                    self.slot_req[s] = None
+                    self.slot_pos[s] = 0
+                    self.slot_tok[s] = 0
+                    self.slot_adapter[s] = -1
+                else:
+                    self.slot_pos[s] = int(pos_np[s])
+                    self.slot_tok[s] = int(pend_np[s])
+                    prev_tok[s] = int(prev_np[s])
+            admit(queue)
+        return requests
+
     def _spec_block_sampled(self, cfg_d, gamma: int, rounds: int,
                             temperature: float, top_k: int,
                             top_p: float):

@@ -142,3 +142,39 @@ def test_spec_engine_sampled_bad_draft_runs(params):
     done = eng.run_spec(_reqs(max_new=8), cfg_d, params_d, gamma=3,
                         rounds=2, temperature=1.0, top_k=12)
     assert all(r.done and len(r.out) == 8 for r in done)
+
+
+def test_lookup_spec_engine_equals_plain_contiguous(params):
+    """run_spec_lookup (weights-free prompt-lookup draft): stream
+    identical to run() — a lookup miss is an accept-0 round."""
+    ref = _plain(params)
+    eng = ServingEngine(CFG, params, batch_slots=2, use_pallas=False)
+    done = eng.run_spec_lookup(_reqs(), gamma=3, ngram=2, rounds=2)
+    assert [r.out for r in done] == ref
+    assert all(r.done for r in done)
+
+
+def test_lookup_spec_engine_paged(params):
+    ref = _plain(params)
+    eng = ServingEngine(CFG, params, batch_slots=2, use_pallas=False,
+                        paged=True)
+    done = eng.run_spec_lookup(_reqs(), gamma=3, ngram=3, rounds=2)
+    assert [r.out for r in done] == ref
+
+
+def test_lookup_spec_engine_repetitive_prompt_accepts(params):
+    """A perfectly periodic prompt should yield nonzero acceptance on
+    a random-init model too, whenever the model happens to continue a
+    period — and regardless, the stream must equal run()'s. Also
+    covers prompts shorter than the n-gram (draft degenerates to a
+    pending-fill; exactness unaffected)."""
+    def reqs():
+        return [Request(uid=0, prompt=[5, 6, 5, 6, 5, 6, 5, 6],
+                        max_new=10),
+                Request(uid=1, prompt=[4], max_new=6)]
+
+    plain = ServingEngine(CFG, params, batch_slots=2, use_pallas=False)
+    ref = [r.out for r in plain.run(reqs())]
+    eng = ServingEngine(CFG, params, batch_slots=2, use_pallas=False)
+    done = eng.run_spec_lookup(reqs(), gamma=4, ngram=3, rounds=2)
+    assert [r.out for r in done] == ref
