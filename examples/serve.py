@@ -31,6 +31,8 @@ def main():
                     choices=["bf16", "int8"])
     ap.add_argument("--d-model", type=int, default=2048)
     ap.add_argument("--n-layers", type=int, default=8)
+    ap.add_argument("--n-heads", type=int, default=16)
+    ap.add_argument("--n-kv-heads", type=int, default=4)
     ap.add_argument("--max-seq", type=int, default=2048)
     ap.add_argument("--slots", type=int, default=4)
     ap.add_argument("--requests", type=int, default=8)
@@ -86,7 +88,7 @@ def main():
 
     cfg = llama.LlamaConfig(
         vocab=32000, d_model=args.d_model, n_layers=args.n_layers,
-        n_heads=16, n_kv_heads=4,
+        n_heads=args.n_heads, n_kv_heads=args.n_kv_heads,
         d_ff=args.d_ff or args.d_model * 11 // 4,
         max_seq=args.max_seq, weight_kind=args.weight_kind,
         n_experts=args.n_experts, moe_top_k=args.moe_top_k,
@@ -104,9 +106,9 @@ def main():
 
     def prompt_of(i):
         if args.prompt_style == "loop":
-            period = list(rng.integers(1, 30000, 4 + i % 3))
-            reps = args.prompt_len // len(period) + 1
-            return (period * reps)[:args.prompt_len]
+            # period-P repeating tokens (the parallel/speculative CLI's
+            # loop:P workload), staggered per request
+            return list(np.arange(args.prompt_len) % (4 + i % 3) + 7)
         return list(rng.integers(1, 30000, args.prompt_len))
 
     mk = lambda: [Request(uid=i, prompt=prompt_of(i),

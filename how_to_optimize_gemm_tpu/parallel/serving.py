@@ -657,10 +657,17 @@ class ServingEngine:
                 gamma, ngram, rounds)
         block = self._spec_blocks[cache_key]
 
-        hist = np.zeros((self.batch, self.cfg.max_seq), np.int32)
+        # hist lives ON DEVICE for the whole serve: the relay charges
+        # ~24 ms per transfer, so round-tripping it (or fetching carry
+        # scalars one by one) would dominate the block itself — the
+        # first chip run of this path measured 146 vs plain 977 tok/s
+        # from exactly that, fixed by device-resident hist + one
+        # batched device_get per block dispatch.
+        hist = jnp.zeros((self.batch, self.cfg.max_seq), jnp.int32)
         prev_tok = np.zeros(self.batch, np.int32)
 
         def admit(queue):
+            nonlocal hist
             before = [self.slot_req[s] for s in range(self.batch)]
             self._admit(queue)
             for s in range(self.batch):
@@ -668,8 +675,9 @@ class ServingEngine:
                 if req is None or req is before[s]:
                     continue
                 full = req.prompt + req.out     # incl. pending last
-                hist[s, :] = 0
-                hist[s, :len(full)] = full
+                row = np.zeros(self.cfg.max_seq, np.int32)
+                row[:len(full)] = full
+                hist = hist.at[s].set(jnp.asarray(row))
                 prev_tok[s] = full[-2] if len(full) > 1 else 0
 
         queue = list(requests)
@@ -702,18 +710,14 @@ class ServingEngine:
                     continue
             table = (jnp.asarray(self.table_np) if self.paged
                      else None)
-            (self.cache, hist_j, prev_j, pend_j, pos_j, toks,
-             accepts) = block(self.params, self.cache,
-                              jnp.asarray(hist),
+            (self.cache, hist, prev_j, pend_j, pos_j, toks,
+             accepts) = block(self.params, self.cache, hist,
                               jnp.asarray(prev_tok),
                               jnp.asarray(self.slot_tok),
                               jnp.asarray(self.slot_pos), table)
-            hist = np.array(hist_j)     # writable copy: admit() edits rows
-            toks = np.asarray(toks)
-            accepts = np.asarray(accepts)
-            prev_np = np.asarray(prev_j)
-            pend_np = np.asarray(pend_j)
-            pos_np = np.asarray(pos_j)
+            # ONE transfer for everything the host loop needs
+            toks, accepts, prev_np, pend_np, pos_np = jax.device_get(
+                (toks, accepts, prev_j, pend_j, pos_j))
             for s in list(active):
                 req = self.slot_req[s]
                 done = False
@@ -961,11 +965,10 @@ class ServingEngine:
                 args = args + (jnp.asarray(uids), base_key)
             (self.cache, d_cache, prev_j, pend_j, pos_j, toks,
              accepts) = block(*args, table)
-            toks = np.asarray(toks)          # (rounds, B, gamma+1)
-            accepts = np.asarray(accepts)    # (rounds, B)
-            prev_np = np.asarray(prev_j)
-            pend_np = np.asarray(pend_j)
-            pos_np = np.asarray(pos_j)
+            # one batched transfer (the relay charges per fetch):
+            # toks (rounds, B, gamma+1), accepts (rounds, B)
+            toks, accepts, prev_np, pend_np, pos_np = jax.device_get(
+                (toks, accepts, prev_j, pend_j, pos_j))
             for s in list(active):
                 req = self.slot_req[s]
                 done = False
