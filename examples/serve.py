@@ -67,6 +67,13 @@ def main():
                     choices=["random", "loop"],
                     help="loop: periodic prompts (the repetition-heavy "
                          "regime where prompt lookup pays)")
+    ap.add_argument("--window", type=int, default=16,
+                    help="decode steps per device dispatch")
+    ap.add_argument("--lookahead", type=int, default=1,
+                    help="windows enqueued before the first token "
+                         "fetch (async dispatch pipelining — hides "
+                         "the relay's ~26 ms round trip; see "
+                         "ops/dispatch_probe.py)")
     ap.add_argument("--prefill-chunk", type=int, default=None,
                     help="chunked prefill: admit prompts in fixed "
                          "C-token chunks (one compiled prefill shape "
@@ -127,7 +134,8 @@ def main():
                                    gamma=args.spec_gamma,
                                    rounds=args.spec_rounds)
     else:
-        run = lambda: eng.run(mk(), window=16)
+        run = lambda: eng.run(mk(), window=args.window,
+                              lookahead=args.lookahead)
     run()                          # warm every compile path
     t0 = time.perf_counter()
     done = run()

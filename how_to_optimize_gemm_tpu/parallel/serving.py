@@ -222,6 +222,29 @@ class ServingEngine:
                 step, (cache, tokens, pos, key), None, length=window)
             return toks, cache  # toks: (window, B)
 
+        @functools.partial(jax.jit, static_argnames=("window",))
+        def _decode_burst(params, cache, tokens, pos, key, table=None,
+                          window=1, lora=None, lora_idx=None):
+            # Pipelined-burst form of _decode: ONE dispatch carries the
+            # whole chain state (next input token, advanced pos, split
+            # key) so window j+1 can be ENQUEUED without any host-side
+            # slicing/arithmetic dispatches between windows (each tiny
+            # dispatch costs ~0.6-1 ms on the relay — dispatch_probe).
+            key, sub = jax.random.split(key)
+
+            def step(carry, _):
+                cache, tok, pos, k = carry
+                k, s = jax.random.split(k)
+                logits, cache = llama.decode_step(params, cfg, cache,
+                                                  tok, pos, use_pallas,
+                                                  table=table, lora=lora,
+                                                  lora_idx=lora_idx)
+                nxt = sampler(logits[:, -1, :], s)
+                return (cache, nxt[:, None], pos + 1, k), nxt
+            (cache, ntok, npos, _), toks = jax.lax.scan(
+                step, (cache, tokens, pos, sub), None, length=window)
+            return toks, cache, ntok, npos, key
+
         @functools.partial(jax.jit, static_argnames=())
         def _prefill(params, cache, tokens, pos, write_mask, table=None,
                      lora=None, lora_idx=None):
@@ -256,6 +279,7 @@ class ServingEngine:
             return sampler(logits[s, idx][None], key)[0]
 
         self._decode = _decode
+        self._decode_burst = _decode_burst
         self._prefill = _prefill
         self._prefill_at = _prefill_at
         self._sample_one = lambda logits, s, idx, key: int(
@@ -1039,33 +1063,82 @@ class ServingEngine:
 
     # -------------------------------------------------------------- run
     def run(self, requests: list[Request], eos_id: int | None = None,
-            window: int = 8) -> list[Request]:
+            window: int = 8, lookahead: int = 1) -> list[Request]:
         """Serve all requests to completion; returns them with .out.
 
         window: decode steps per device dispatch (scan inside jit).
         The greedy token stream is IDENTICAL for any window (sampled
         streams stay correct but draw keys in a different order); only
-        the host round-trip count changes."""
-        for _ in self._run_steps(requests, eos_id, window):
+        the host round-trip count changes.
+
+        lookahead > 1: enqueue up to that many windows back-to-back
+        BEFORE fetching the first one's tokens (async dispatch
+        pipelining). The round-5 dispatch probe
+        (ops/dispatch_probe.py) measured the relay's cost model: ops
+        are free, each BLOCKING dispatch costs a fixed ~26 ms round
+        trip, and async enqueue pipelines it away (3.8 ms/call at
+        depth 8) — so fetching window i's tokens while windows
+        i+1..i+K run on device hides the round trip entirely. Token
+        streams are unchanged (per-slot streams are batch- and
+        window-independent; the chained input token of window i+1 is
+        the device-resident last token of window i — the same value
+        the host would have sent)."""
+        for _ in self._run_steps(requests, eos_id, window, lookahead):
             pass
         return requests
 
     def run_stream(self, requests: list[Request],
-                   eos_id: int | None = None, window: int = 8):
+                   eos_id: int | None = None, window: int = 8,
+                   lookahead: int = 1):
         """Streaming form of run(): a generator yielding (uid, token)
         as tokens are produced — the serving front-end's SSE loop.
         Tokens arrive in per-request order, batched at dispatch
         granularity (one window's worth per engine step); the combined
         stream equals run()'s .out exactly (tested)."""
         seen = {r.uid: 0 for r in requests}
-        for _ in self._run_steps(requests, eos_id, window):
+        for _ in self._run_steps(requests, eos_id, window, lookahead):
             for r in requests:
                 while seen[r.uid] < len(r.out):
                     yield r.uid, r.out[seen[r.uid]]
                     seen[r.uid] += 1
 
+    def _plan_burst(self, window: int, lookahead: int) -> list[int]:
+        """Window sizes for one pipelined burst (see run(lookahead=)).
+
+        Mirrors the sync loop's per-window w clamp, simulating slot
+        positions forward. The plan CUTS at the first window where any
+        slot reaches max_new or max_seq — after that window the sync
+        loop's bookkeeping (slot release, admission) must intervene,
+        so it is a mandatory resync point. EOS cannot be predicted;
+        an EOS mid-burst just wastes the dead slot's remaining windows
+        (other slots' tokens stay valid — per-slot streams are batch-
+        independent, and releases are deferred to the drain)."""
+        plan: list[int] = []
+        sim_pos = self.slot_pos.astype(np.int64).copy()
+        rem = {s: self.slot_req[s].max_new - len(self.slot_req[s].out)
+               for s in range(self.batch) if self.slot_req[s] is not None}
+        for _ in range(lookahead):
+            act = [s for s in rem if rem[s] > 0]
+            if not act:
+                break
+            w = max(1, min(window, self.cfg.max_seq - 1
+                           - max(int(sim_pos[s]) for s in act)))
+            w = 1 << (w.bit_length() - 1)
+            plan.append(w)
+            resync = False
+            for s in act:
+                sim_pos[s] += w
+                rem[s] -= w
+                if rem[s] <= 0 or int(sim_pos[s]) + 1 >= self.cfg.max_seq:
+                    rem[s] = 0
+                    resync = True
+            if resync:
+                break
+        return plan
+
     def _run_steps(self, requests: list[Request],
-                   eos_id: int | None = None, window: int = 8):
+                   eos_id: int | None = None, window: int = 8,
+                   lookahead: int = 1):
         """run()'s engine loop as a generator: yields after admission
         and after every decode dispatch (the streaming hook)."""
         import time as _time
@@ -1077,6 +1150,85 @@ class ServingEngine:
         self._admit(queue)
         yield
         while any(r is not None for r in self.slot_req):
+            if lookahead > 1:
+                plan = self._plan_burst(window, lookahead)
+                if self.paged and plan:
+                    # every slot needs page coverage for the WHOLE burst
+                    # before the first dispatch; cut the plan where the
+                    # pool runs dry (plan[:0] falls through to the sync
+                    # body below, which owns the preemption policy)
+                    covered = 0
+                    need = self.slot_pos.astype(np.int64).copy()
+                    for w in plan:
+                        ok = True
+                        for s in range(self.batch):
+                            if self.slot_req[s] is None:
+                                continue
+                            if not self.alloc.grow(s, int(need[s]) + w):
+                                ok = False
+                                break
+                        if not ok:
+                            break
+                        for s in range(self.batch):
+                            if self.slot_req[s] is not None:
+                                need[s] += w
+                        covered += 1
+                    plan = plan[:covered]
+                if len(plan) > 1:
+                    # ---- pipelined burst: enqueue all windows, then
+                    # drain. The input token of window j+1 is window j's
+                    # device-resident last token; pos advances on host
+                    # arithmetic (exact — no data dependence).
+                    tok_dev = jnp.asarray(self.slot_tok.reshape(-1, 1))
+                    pos_dev = jnp.asarray(self.slot_pos)
+                    key_dev = self._key
+                    table = (jnp.asarray(self.table_np) if self.paged
+                             else None)
+                    lidx = self._lora_idx()
+                    inflight = []
+                    for w in plan:
+                        toks, self.cache, tok_dev, pos_dev, key_dev = \
+                            self._decode_burst(
+                                self.params, self.cache, tok_dev,
+                                pos_dev, key_dev, table, window=w,
+                                lora=self.lora, lora_idx=lidx)
+                        inflight.append((w, toks))
+                    self._key = key_dev
+                    finished: list[int] = []
+                    for w, toks in inflight:
+                        toks = np.asarray(toks)          # (w, B) fetch
+                        for s in range(self.batch):
+                            req = self.slot_req[s]
+                            if req is None or req.done:
+                                continue
+                            for i in range(w):
+                                self.slot_pos[s] += 1
+                                tok = int(toks[i, s])
+                                req.out.append(tok)
+                                hit_eos = (eos_id is not None
+                                           and tok == eos_id)
+                                full = (self.slot_pos[s] + 1
+                                        >= self.cfg.max_seq)
+                                if (len(req.out) >= req.max_new
+                                        or hit_eos or full):
+                                    req.done = True
+                                    req.t_done = _time.perf_counter()
+                                    # release/reset DEFERRED to drain:
+                                    # later in-flight windows still
+                                    # write this slot's cache range
+                                    finished.append(s)
+                                    break
+                                self.slot_tok[s] = tok
+                        yield
+                    for s in finished:
+                        self._release_pages(s)
+                        self.slot_req[s] = None
+                        self.slot_pos[s] = 0
+                        self.slot_tok[s] = 0
+                        self.slot_adapter[s] = -1
+                    self._admit(queue)
+                    yield
+                    continue
             active_pos = [int(self.slot_pos[s]) for s in range(self.batch)
                           if self.slot_req[s] is not None]
             w = max(1, min(window,

@@ -267,3 +267,55 @@ def test_run_stream_equals_run():
     for uid, tok in eng.run_stream(mk(), window=4):
         streamed.setdefault(uid, []).append(tok)
     assert streamed == ref
+
+
+def test_lookahead_matches_sync(params):
+    """Pipelined-burst decode (run(lookahead=K)) emits bit-identical
+    greedy streams to the sync loop, across window boundaries, slot
+    counts, and requests outliving several bursts."""
+    mk = lambda: [Request(uid=0, prompt=[3, 5, 7], max_new=17),
+                  Request(uid=1, prompt=[11, 2], max_new=9),
+                  Request(uid=2, prompt=[40, 41, 42, 43], max_new=13)]
+    sync = ServingEngine(CFG, params, batch_slots=2, use_pallas=False)
+    ref = {r.uid: r.out for r in sync.run(mk(), window=4)}
+    for la in (2, 4):
+        eng = ServingEngine(CFG, params, batch_slots=2, use_pallas=False)
+        done = eng.run(mk(), window=4, lookahead=la)
+        for r in done:
+            assert r.out == ref[r.uid], (la, r.uid, r.out, ref[r.uid])
+            assert r.done
+
+
+def test_lookahead_eos_mid_burst(params):
+    """An EOS inside a burst terminates the request at the right token
+    even though later windows were already in flight; the other slot's
+    stream is unaffected (per-slot independence)."""
+    sync = ServingEngine(CFG, params, batch_slots=2, use_pallas=False)
+    probe = sync.run([Request(uid=0, prompt=[3, 5, 7], max_new=20)],
+                     window=2)[0].out
+    # pick an eos_id that fires mid-stream (some emitted token)
+    eos = probe[len(probe) // 2]
+    mk = lambda: [Request(uid=0, prompt=[3, 5, 7], max_new=20),
+                  Request(uid=1, prompt=[11, 2], max_new=20)]
+    a = ServingEngine(CFG, params, batch_slots=2, use_pallas=False)
+    ra = {r.uid: r.out for r in a.run(mk(), eos_id=eos, window=2)}
+    b = ServingEngine(CFG, params, batch_slots=2, use_pallas=False)
+    rb = {r.uid: r.out
+          for r in b.run(mk(), eos_id=eos, window=2, lookahead=4)}
+    assert ra == rb
+
+
+def test_lookahead_paged_and_prefix(params):
+    """Burst mode under the paged allocator (page growth covers the
+    whole burst up front; releases deferred to the drain) and with the
+    prefix cache on."""
+    mk = lambda: [Request(uid=i, prompt=[5, 6, 7, 8, 9 + i], max_new=11)
+                  for i in range(4)]
+    sync = ServingEngine(CFG, params, batch_slots=2, use_pallas=False,
+                         paged=True, prefix_cache=True)
+    ref = {r.uid: r.out for r in sync.run(mk(), window=4)}
+    eng = ServingEngine(CFG, params, batch_slots=2, use_pallas=False,
+                        paged=True, prefix_cache=True)
+    done = eng.run(mk(), window=4, lookahead=3)
+    for r in done:
+        assert r.out == ref[r.uid], (r.uid, r.out, ref[r.uid])
