@@ -136,8 +136,9 @@ def _stream_kernel(bq: int, bk: int, ts_len: int, scale: float,
 
 @functools.partial(jax.jit, static_argnames=("causal", "bq", "bk",
                                              "interpret", "scale"))
-def flash_attention(q, k, v, *, causal: bool = True, bq: int = 512,
-                    bk: int = 512, scale: float | None = None,
+def flash_attention(q, k, v, *, causal: bool = True,
+                    bq: int | None = None, bk: int | None = None,
+                    scale: float | None = None,
                     interpret: bool | None = None):
     """Streaming causal attention. q: (B, H, S, D); k, v: (B, KVH, T, D);
     returns (B, H, S, D) in q's dtype. fp32 online-softmax state; scores
@@ -150,6 +151,14 @@ def flash_attention(q, k, v, *, causal: bool = True, bq: int = 512,
     b, h, s, d = q.shape
     _, kvh, t, _ = k.shape
     rep = h // kvh
+    if bq is None or bk is None:
+        # banked autotuning (harness/autotune_kernels) — trace-time
+        # lookup; absent entries keep the measured 512x512 default
+        from how_to_optimize_gemm_tpu.harness.autotune_kernels import (
+            flash_key, knobs_for)
+        tuned = knobs_for("flash", flash_key(s, t, h, kvh, d, causal))
+        bq = bq or tuned.get("bq") or 512
+        bk = bk or tuned.get("bk") or 512
     bq = min(bq, bounds.round_up(s, 128))
     bk = min(bk, bounds.round_up(t, 128))
     # K/V super-block strip: big enough to amortize grid steps (the

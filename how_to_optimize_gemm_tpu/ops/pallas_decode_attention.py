@@ -94,8 +94,8 @@ def _decode_attention_v3(qg, k_cache, v_cache, lengths, *, scale, bk,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, kvh, rep, d), lambda bi, lens: (bi, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, kvh, rep, d),
                                lambda bi, lens: (bi, 0, 0, 0)),
@@ -337,14 +337,20 @@ def _kernel_v4(bk: int, kvh: int, rep: int, d: int, t_total: int,
 
 
 @functools.partial(jax.jit, static_argnames=("bk", "interpret"))
-def decode_attention(q, k_cache, v_cache, lengths, *, bk: int = 512,
+def decode_attention(q, k_cache, v_cache, lengths, *,
+                     bk: int | None = None,
                      interpret: bool | None = None):
     """q: (B, H, D) one query per slot; k/v_cache: (B, T, KVH, D)
     time-major; lengths: (B,) int32 — valid cache entries per slot (the
     current token's K/V must already be written). Returns (B, H*D)
-    fp32."""
+    fp32. bk None = banked autotuning (harness/autotune_kernels) or
+    the measured 512 default."""
     b, h, d = q.shape
     _, t, kvh, _ = k_cache.shape
+    if bk is None:
+        from how_to_optimize_gemm_tpu.harness.autotune_kernels import (
+            decode_key, knobs_for)
+        bk = knobs_for("decode", decode_key(t, kvh, d)).get("bk") or 512
     rep = h // kvh
     w = kvh * d
     assert w % 128 == 0, \
@@ -389,8 +395,8 @@ def decode_attention(q, k_cache, v_cache, lengths, *, bk: int = 512,
         grid=(1,),
         in_specs=[
             pl.BlockSpec((b, kvh, rep, d), lambda i, lens: (0, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((b, kvh * rep, w),
                                lambda i, lens: (0, 0, 0)),
@@ -434,10 +440,10 @@ def _decode_attention_q8_v3(qg, qk, sk, qv, sv, lengths, *, scale, bk,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, kvh, rep, d), lambda bi, lens: (bi, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, kvh, rep, d),
                                lambda bi, lens: (bi, 0, 0, 0)),
@@ -671,7 +677,8 @@ def _kernel_q8_v4(bk: int, kvh: int, rep: int, d: int, t_total: int,
 
 
 @functools.partial(jax.jit, static_argnames=("bk", "interpret"))
-def decode_attention_q8(q, qk, sk, qv, sv, lengths, *, bk: int = 512,
+def decode_attention_q8(q, qk, sk, qv, sv, lengths, *,
+                        bk: int | None = None,
                         interpret: bool | None = None):
     """KV8-cache variant: qk/qv (B, T, KVH, D) int8, sk/sv
     (B, T, 128) fp32 per-(token, head) scales (lane-padded to a full
@@ -683,6 +690,11 @@ def decode_attention_q8(q, qk, sk, qv, sv, lengths, *, bk: int = 512,
     _, t, kvh, _ = qk.shape
     rep = h // kvh
     w = kvh * d
+    if bk is None:
+        from how_to_optimize_gemm_tpu.harness.autotune_kernels import (
+            decode_key, knobs_for)
+        bk = knobs_for("decode",
+                       decode_key(t, kvh, d, kv8=True)).get("bk") or 512
     assert sk.shape[-1] == 128 and sv.shape[-1] == 128, \
         "scales must be lane-padded to 128 (pad at WRITE time, not here)"
     assert w % 128 == 0 and kvh <= 128, (kvh, d)
@@ -717,10 +729,10 @@ def decode_attention_q8(q, qk, sk, qv, sv, lengths, *, bk: int = 512,
         grid=(1,),
         in_specs=[
             pl.BlockSpec((b, kvh, rep, d), lambda i, lens: (0, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((b, kvh * rep, w),
                                lambda i, lens: (0, 0, 0)),

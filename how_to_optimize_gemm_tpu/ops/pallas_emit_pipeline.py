@@ -158,11 +158,11 @@ def mmult_q_bt_hand(qa, sa, qbt, sb, c, *, bm: int | None = None,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # sa resident
             pl.BlockSpec(memory_space=pltpu.VMEM),   # sb resident
-            pl.BlockSpec(memory_space=pltpu.ANY),    # A (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # B^T (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # C (HBM, aliased)
+            pl.BlockSpec(memory_space=pl.ANY),    # A (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # B^T (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # C (HBM, aliased)
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
         input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(

@@ -443,6 +443,13 @@ def mmult_w4a8_fused_noc(x, packed, sw, *, bn: int | None = None,
     n = packed.shape[1]
     kp = packed.shape[0] * 2
     assert m <= 64, "fused-quant path is the GEMV (decode) form"
+    if bn is None and bk is None:
+        # banked autotuning (harness/autotune_kernels) — trace-time
+        # lookup; absent entries keep choose_blocks_w4's pick
+        from how_to_optimize_gemm_tpu.harness.autotune_kernels import (
+            gemv_key, knobs_for)
+        tuned = knobs_for("gemv_w4a8", gemv_key(m, k, n))
+        bn, bk = tuned.get("bn"), tuned.get("bk")
     abm, abn, abk = choose_blocks_w4(m, n, kp)
     bm = abm
     bn = bn or abn

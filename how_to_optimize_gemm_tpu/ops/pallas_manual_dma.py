@@ -132,8 +132,8 @@ def mmult_q(qa, sa, qb, sb, c, *, bm: int = 512, bn: int = 512,
         grid=(mp // bm, np_ // bn),
         in_specs=[
             # Operands stay in HBM; the kernel DMAs its own strips.
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((bm, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j: (0, j),
@@ -321,15 +321,15 @@ def mmult_q_fat(qa, sa, qb, sb, c, *, bm: int = 1024, bn: int = 1024,
         _make_fat_kernel(bm, bn, bk, nk),
         grid=(mp // bm, np_ // bn),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((bm, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((2, bm, bk), jnp.int8),
@@ -522,15 +522,15 @@ def mmult_q_packed(qa, sa, qbt, sb, c, *, bm: int | None = None,
         _make_packed_kernel(bm, bn, bk, nk),
         grid=(mp // bm, np_ // bn),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((bm, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((2, bm, bk), jnp.int8),
@@ -686,15 +686,15 @@ def mmult_q_strip(qa, sa, qbt, sb, c, *, bm: int | None = None,
         _make_strip_kernel(bm, bn, bk, nk),
         grid=(mp // bm, np_ // bn),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((bm, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((2, bm, kp), jnp.int8),     # row-parity A strips
@@ -826,13 +826,13 @@ def _mmult_q_resident(qa, sa, qbt, sb, c, *, bm, bn, bk,
         _make_resident_kernel(bm, bn, bk, mp, np_, kp),
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((mp, kp), jnp.int8),        # resident A
@@ -982,13 +982,13 @@ def _mmult_q_tiled_resident(qa, sa, qbt, sb, c, *, bm, bn, bk,
         _make_tiled_resident_kernel(bm, bn, bk, gi, gj, nk),
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((gi, nk, bm, bk), jnp.int8),   # tiled-resident A

@@ -241,8 +241,8 @@ def _paged_v3(qg, k_pool, v_pool, table, lengths, *, scale, interpret):
         in_specs=[
             pl.BlockSpec((1, kvh, rep, d),
                          lambda bi, lens, tab: (bi, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, kvh, rep, d),
                                lambda bi, lens, tab: (bi, 0, 0, 0)),
@@ -306,8 +306,8 @@ def paged_decode_attention(q, k_pool, v_pool, table, lengths, *,
         in_specs=[
             pl.BlockSpec((b, kvh, rep, d),
                          lambda i, lens, tab: (0, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((b, kvh * rep, w),
                                lambda i, lens, tab: (0, 0, 0)),
@@ -563,10 +563,10 @@ def _paged_q8_v3(qg, qk_pool, sk_pool, qv_pool, sv_pool, table, lengths,
         in_specs=[
             pl.BlockSpec((1, kvh, rep, d),
                          lambda bi, lens, tab: (bi, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, kvh, rep, d),
                                lambda bi, lens, tab: (bi, 0, 0, 0)),
@@ -631,10 +631,10 @@ def paged_decode_attention_q8(q, qk_pool, sk_pool, qv_pool, sv_pool,
         in_specs=[
             pl.BlockSpec((b, kvh, rep, d),
                          lambda i, lens, tab: (0, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((b, kvh * rep, w),
                                lambda i, lens, tab: (0, 0, 0)),

@@ -393,7 +393,7 @@ def dma_chunk_bandwidth_gbps(rows: int, cols: int, parent: int = 4096,
         return pl.pallas_call(
             _chunk_kernel(rows, cols, nchunks, nj, reps),
             out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             scratch_shapes=[pltpu.VMEM((2, rows, cols), jnp.int8),
                             pltpu.SemaphoreType.DMA((2,))],
@@ -482,7 +482,7 @@ def dma_latency_ns(rows: int = 32, cols: int = 128,
             return pl.pallas_call(
                 _dma_latency_kernel(iters, rows, cols, do_dma, nsrc),
                 out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
                 out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
                 scratch_shapes=[pltpu.VMEM((rows, cols), jnp.int8),
                                 pltpu.SemaphoreType.DMA(())],
@@ -563,8 +563,8 @@ def hbm_copy_manual_gbps(mbytes: int = 256, rows: int = 512,
             _manual_copy_kernel(rows, cols, nchunks, nslots, reps),
             out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
                        jax.ShapeDtypeStruct((1, 1), jnp.int32)),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                        pl.BlockSpec(memory_space=pltpu.SMEM)),
             scratch_shapes=[pltpu.VMEM((nslots, rows, cols), jnp.float32),
                             pltpu.SemaphoreType.DMA((nslots,)),

@@ -392,7 +392,8 @@ def _ragged_layout(flat_exp: jnp.ndarray, t: int, e: int, k: int,
     return tok[order], order, dest, block_expert, tp
 
 
-def moe_ffn_ragged(params, x: jnp.ndarray, k: int = 2, bt: int = 128,
+def moe_ffn_ragged(params, x: jnp.ndarray, k: int = 2,
+                   bt: int | None = None,
                    bf: int | None = None,
                    interpret: bool | None = None,
                    return_aux: bool = False):
@@ -418,6 +419,19 @@ def moe_ffn_ragged(params, x: jnp.ndarray, k: int = 2, bt: int = 128,
     t, d = x.shape
     e = _n_experts(params)
     ctype = x.dtype
+    if bt is None or bf is None:
+        # banked (bt, bf) from the serving-kernel autotuner; absent
+        # entries keep the measured defaults (bt=128, bf=_auto_bf)
+        from how_to_optimize_gemm_tpu.harness.autotune_kernels import (
+            grouped_key, knobs_for)
+        kind = ("int8" if "w_in_q" in params
+                else "int4" if "w_in_q4" in params else "dense")
+        stack = next(params[n] for n in ("w_in", "w_in_q", "w_in_q4")
+                     if n in params)
+        tuned = knobs_for("grouped",
+                          grouped_key(e, d, stack.shape[2], kind))
+        bt = bt or tuned.get("bt") or 128
+        bf = bf if bf is not None else tuned.get("bf")
     logits = x.astype(jnp.float32) @ params["router"].astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
     gate_vals, choice = lax.top_k(probs, k)
