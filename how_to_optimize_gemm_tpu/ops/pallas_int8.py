@@ -397,3 +397,133 @@ def mmult_q_bt(qa, sa, qbt, sb, c, *, bm: int | None = None,
             **common,
         )(qa, qbt, sa, sb, c)
     return bounds.crop(out, m, n)
+
+
+# -------------------------------------------------- rung 18 (ragged M)
+
+def ragged_m_plan(mp: int, cap: int) -> list[tuple[int, int, int]]:
+    """Strip plan [(bm, grid_m, off_blocks)] covering ``mp`` rows with
+    ZERO padding and the fewest strips (each strip = one full B^T
+    re-read, so strip count is the B-traffic knob the vendor's 3-strip
+    p=4096 schedule wins ~1% with — RESULTS.md 4096 contest).
+
+    The uniform chooser must sometimes choose between padding waste and
+    an extra strip (p=4096, cap 1664: 3x1408 pads 128 rows; 4x1024 pads
+    none — it picks 4 strips). A RAGGED plan gets both: a tall uniform
+    head plus one shorter tail strip, expressible as TWO aliased
+    pallas_calls when the tail offset is a multiple of the tail's own
+    block height (BlockSpec index maps address in whole blocks). Plans:
+    mp=4096 -> [(1536, 2, 0), (1024, 1, 3)] = 3 strips, no padding."""
+    assert mp % 128 == 0, mp
+    best: list[tuple[int, int, int]] | None = None
+
+    def strips_of(plan):
+        return sum(g for _, g, _ in plan)
+
+    for bm1 in range(min(cap, mp), 127, -128):
+        a, r = divmod(mp, bm1)
+        if r == 0:
+            plan = [(bm1, a, 0)]
+        else:
+            # tail block: largest 128-multiple dividing BOTH the tail
+            # and the head extent (its blocks must start on their own
+            # block grid)
+            head = a * bm1
+            bm2 = 0
+            for c2 in range(min(cap, r), 127, -128):
+                if r % c2 == 0 and head % c2 == 0:
+                    bm2 = c2
+                    break
+            if not bm2:
+                continue
+            plan = [(bm1, a, 0), (bm2, r // bm2, head // bm2)]
+        if best is None or strips_of(plan) < strips_of(best) or (
+                strips_of(plan) == strips_of(best)
+                and len(plan) < len(best)):
+            best = plan
+    assert best is not None
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("bn", "bk", "cap",
+                                             "vmem_limit_mb",
+                                             "interpret"))
+def mmult_q_bt_ragged(qa, sa, qbt, sb, c, *, bn: int | None = None,
+                      bk: int | None = None, cap: int | None = None,
+                      vmem_limit_mb: int | None = 48,
+                      interpret: bool | None = None):
+    """Rung 18: rung 14's schedule with a RAGGED-M strip plan.
+
+    The round-4 schedule read (RESULTS.md "int8@4096 contest") showed
+    the vendor walks THREE ragged ~1368-row M strips at p=4096 where
+    rung 14's zero-waste uniform chooser needs FOUR 1024-row strips —
+    one extra full B^T re-read (~16.8 MB against ~100 MB of total
+    traffic ~= the residual 1%). A padded 3x1408 attempt measured
+    213.7k (the padding, not the strip count, was the killer). This
+    rung removes the padding instead: a tall uniform head call plus one
+    short tail call over the SAME buffers, the tail offset addressed in
+    its own block units, chained through ``input_output_aliases`` so
+    uncovered row blocks pass through in place (the kv_update partial-
+    write idiom) — no slicing copies, no concat, no padding.
+
+    Sizes whose best uniform plan is already pad-free at equal strip
+    count (2048, 3072, 3584) delegate to rung 14 unchanged; the rung
+    only diverges where raggedness buys a strip (4096: 3 vs 4).
+
+    Reference slot: the vendor-beating schedule hunt of
+    ``cuda/MMult_cuda_12.cu:77-82`` / ``README.md:96-102``."""
+    m, n = c.shape
+    abm, abn, abk = choose_blocks_bt(m, n, qa.shape[1])
+    bn, bk = bn or abn, bk or abk
+    qa = bounds.pad_dim(bounds.pad_dim(qa, 0, 128), 1, bk)
+    qbt = bounds.pad_dim(bounds.pad_dim(qbt, 0, bn), 1, bk)
+    c = bounds.pad_dim(bounds.pad_dim(c, 0, 128), 1, bn)
+    sa = bounds.pad_dim(sa, 0, 128)
+    sb = bounds.pad_dim(sb, 1, bn)
+    mp, kp = qa.shape
+    np_ = qbt.shape[0]
+    if cap is None:
+        # same VMEM budget model as choose_blocks_bt, tail-capped
+        budget = 28 * 1024 * 1024
+        cap = (budget - 2 * bn * bk) // (2 * bk + 12 * bn)
+        cap = min(max((cap // 128) * 128, 512), 1792)
+    plan = ragged_m_plan(mp, cap)
+
+    vmem_kw = ({"vmem_limit_bytes": vmem_limit_mb * 1024 * 1024}
+               if vmem_limit_mb else {})
+    out = c
+    for bm_s, gm, off in plan:
+        out = pl.pallas_call(
+            _kernel_bt,
+            grid=(gm, np_ // bn, kp // bk),
+            in_specs=[
+                pl.BlockSpec((bm_s, bk), lambda i, j, kk, o=off:
+                             (i + o, kk), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, bk), lambda i, j, kk: (j, kk),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm_s, 1), lambda i, j, kk, o=off:
+                             (i + o, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm_s, bn), lambda i, j, kk, o=off:
+                             (i + o, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm_s, bn), lambda i, j, kk, o=off:
+                                   (i + o, j), memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((bm_s, bn), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel",
+                                     "arbitrary"),
+                **vmem_kw,
+            ),
+            out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+            input_output_aliases={4: 0},
+            cost_estimate=pl.CostEstimate(
+                flops=2 * gm * bm_s * np_ * kp,
+                bytes_accessed=gm * bm_s * kp + kp * np_
+                + 2 * gm * bm_s * np_ * 4,
+                transcendentals=0,
+            ),
+            interpret=default_interpret(interpret),
+        )(qa, qbt, sa, sb, out)
+    return bounds.crop(out, m, n)

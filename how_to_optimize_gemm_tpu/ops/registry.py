@@ -300,6 +300,21 @@ _register(Rung(
         "pallas_emit_pipeline docstring + RESULTS.md 4096-contest "
         "closure"))
 
+_register(Rung(
+    name="18_ragged_m_int8", dtype="int8",
+    run=lambda qa, sa, qbt, sb, c, **kw: pallas_int8.mmult_q_bt_ragged(
+        qa, sa, qbt, sb, c, **kw),
+    prepare=pallas_manual_dma.prepare_packed, effective=_packed_effective,
+    gate_rel=1e-4, bytes_per_input_elt=1.0,
+    doc="Rung 14's schedule with a RAGGED-M strip plan (round-5 "
+        "stretch): zero-padding tall-head + short-tail strips as two "
+        "aliased pallas_calls, cutting the p=4096 plan from four "
+        "1024-row strips to three (1536+1536+1024) — one fewer full "
+        "B^T re-read, the freedom the vendor's 3x1368 backend_config "
+        "schedule uses. Delegates to the uniform plan wherever "
+        "raggedness buys nothing (2048/3072/3584). See "
+        "pallas_int8.mmult_q_bt_ragged"))
+
 
 def _bf16_bt_effective(ops):
     a16, bt16 = ops
