@@ -310,3 +310,17 @@ def test_prompt_lookup_accepts_on_repetition():
     # tiny-vocab greedy streams cycle; the lookup must exploit it
     # (measured here: ~2.5 tokens per verify at gamma=8)
     assert stats.tokens_per_target_call > 1.5, stats
+
+
+def test_sampled_rejection_distribution_check():
+    """The dist-check harness itself (round-5): spec-vs-plain empirical
+    token distributions agree within the same-distribution control's
+    noise, and the broken-path reference (draft-only distribution) is
+    far — i.e. the check has discriminating power. Deterministic seeds,
+    so this asserts the real statistical outcome, not just plumbing."""
+    from how_to_optimize_gemm_tpu.parallel.speculative import dist_check
+    res = dist_check(n_seeds=48, n_new=3, verbose=False)
+    assert res["pass"], res
+    # power: a broken always-accept path would sit near l1_power, which
+    # must be well above the accept threshold for the check to matter
+    assert res["l1_power"] > 1.5 * res["l1_control"] + 0.15, res
