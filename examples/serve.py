@@ -64,9 +64,10 @@ def main():
                          "matching; uses --spec-gamma/--spec-rounds, "
                          "no draft model")
     ap.add_argument("--prompt-style", default="random",
-                    choices=["random", "loop"],
+                    choices=["random", "loop", "mixed"],
                     help="loop: periodic prompts (the repetition-heavy "
-                         "regime where prompt lookup pays)")
+                         "regime where prompt lookup pays); mixed: "
+                         "alternate loop/random per request")
     ap.add_argument("--window", type=int, default=16,
                     help="decode steps per device dispatch")
     ap.add_argument("--lookahead", type=int, default=1,
@@ -112,9 +113,13 @@ def main():
     rng = np.random.default_rng(0)
 
     def prompt_of(i):
-        if args.prompt_style == "loop":
+        if args.prompt_style == "loop" or (args.prompt_style == "mixed"
+                                           and i % 2 == 0):
             # period-P repeating tokens (the parallel/speculative CLI's
-            # loop:P workload), staggered per request
+            # loop:P workload), staggered per request; "mixed"
+            # alternates loop/random per uid — the round-5 task-3
+            # workload (spec-lookup must win on the repetitive half
+            # without sinking the random half)
             return list(np.arange(args.prompt_len) % (4 + i % 3) + 7)
         return list(rng.integers(1, 30000, args.prompt_len))
 
@@ -153,6 +158,15 @@ def main():
     print(f"{ntok} tokens in {dt:.2f}s = {ntok / dt:.0f} tok/s; "
           f"TTFT p50={sorted(ttfts)[len(ttfts) // 2] * 1e3:.0f} ms "
           f"max={max(ttfts) * 1e3:.0f} ms{extra}")
+    if args.spec_lookup and getattr(eng, "lookup_stats", None):
+        rows = []
+        for uid, (acc, rnds) in sorted(eng.lookup_stats.items()):
+            kind = ("loop" if args.prompt_style == "loop"
+                    or (args.prompt_style == "mixed" and uid % 2 == 0)
+                    else "rand")
+            rows.append(f"uid {uid} ({kind}): "
+                        f"{acc / max(rnds, 1):.2f} acc/round")
+        print("per-slot accept: " + "; ".join(rows))
 
 
 if __name__ == "__main__":

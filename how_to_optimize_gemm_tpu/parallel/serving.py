@@ -710,6 +710,9 @@ class ServingEngine:
             r.t_submit = now
         self._eos_id = eos_id
         admit(queue)
+        # per-request lookup economics: uid -> [accepted draft
+        # tokens, rounds consumed] (the CLI's per-slot accept report)
+        self.lookup_stats = {r.uid: [0, 0] for r in requests}
         max_adv = rounds * (gamma + 1) + gamma + 1
         while any(r is not None for r in self.slot_req):
             active = [s for s in range(self.batch)
@@ -747,6 +750,9 @@ class ServingEngine:
                 done = False
                 for r in range(rounds):
                     a = int(accepts[r, s])
+                    st = self.lookup_stats[req.uid]
+                    st[0] += a
+                    st[1] += 1
                     for tok in toks[r, s, :a + 1].tolist():
                         self.slot_pos[s] += 1
                         req.out.append(tok)
