@@ -83,8 +83,8 @@ def test_manual_copy_probe_interpret_and_correct():
         _manual_copy_kernel(rows, cols, nchunks, nslots, reps=1),
         out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         scratch_shapes=[pltpu.VMEM((nslots, rows, cols), jnp.float32),
                         pltpu.SemaphoreType.DMA((nslots,)),
