@@ -305,15 +305,20 @@ _register(Rung(
     run=lambda qa, sa, qbt, sb, c, **kw: pallas_int8.mmult_q_bt_ragged(
         qa, sa, qbt, sb, c, **kw),
     prepare=pallas_manual_dma.prepare_packed, effective=_packed_effective,
-    gate_rel=1e-4, bytes_per_input_elt=1.0,
-    doc="Rung 14's schedule with a RAGGED-M strip plan (round-5 "
-        "stretch): zero-padding tall-head + short-tail strips as two "
-        "aliased pallas_calls, cutting the p=4096 plan from four "
-        "1024-row strips to three (1536+1536+1024) — one fewer full "
-        "B^T re-read, the freedom the vendor's 3x1368 backend_config "
-        "schedule uses. Delegates to the uniform plan wherever "
-        "raggedness buys nothing (2048/3072/3584). See "
-        "pallas_int8.mmult_q_bt_ragged"))
+    gate_rel=1e-4, bytes_per_input_elt=1.0, regression=True,
+    doc="REGRESSION (kept): rung 14's schedule with a RAGGED-M strip "
+        "plan (round-5 stretch) — zero-padding tall-head + short-tail "
+        "strips as two aliased pallas_calls, cutting the p=4096 plan "
+        "from four 1024-row strips to three (1536+1536+1024), one "
+        "fewer full B^T re-read (the freedom the vendor's 3x1368 "
+        "backend_config schedule uses). MEASURED 0-0-7 against rung "
+        "14 at p=4096 (median 340.0k vs 356.5k, interleaved ab): the "
+        "~1% of saved B traffic is swamped by the tall strips' worse "
+        "i-direction pipelining (the bm=2048 lesson recurring) and "
+        "the tail call's pipeline restart. The vendor's ragged-strip "
+        "freedom stays unprofitable in this programming model — the "
+        "last Pallas-expressible idea from the round-4 ceiling "
+        "record, now measured. See pallas_int8.mmult_q_bt_ragged"))
 
 
 def _bf16_bt_effective(ops):

@@ -42,6 +42,7 @@ LADDER_ORDER = [
     ("13_tiled_resident_int8", "int8"),
     ("14_packed_alias_int8", "int8"),
     ("17_hand_pipeline_int8", "int8"),   # round-4 regression (kept)
+    ("18_ragged_m_int8", "int8"),        # round-5 regression (kept)
     ("15_packed_alias_bf16", "bf16"),
     ("16_packed_alias_fp32", "fp32"),
 ]
