@@ -93,3 +93,19 @@ def test_rung14_odd_shapes_interpret():
            + np.asarray(c, np.float64))
     rel = float(np.max(np.abs(out - ref)) / np.max(np.abs(ref)))
     assert rel < 1e-4, rel
+
+
+def test_ragged_m_plan_invariants():
+    """Strip plans cover mp exactly: aligned offsets, no gaps, and the
+    two-call form only when it saves a strip over the uniform plan."""
+    from how_to_optimize_gemm_tpu.ops.pallas_int8 import ragged_m_plan
+    for mp in (128, 256, 1152, 1280, 2048, 3584, 4096, 8192):
+        for cap in (512, 1024, 1664, 1792):
+            plan = ragged_m_plan(mp, cap)
+            rows = 0
+            for bm, gm, off in plan:
+                assert bm % 128 == 0 and bm <= max(cap, 128)
+                assert off * bm == rows, (mp, cap, plan)
+                rows += bm * gm
+            assert rows == mp, (mp, cap, plan)
+    assert ragged_m_plan(4096, 1664) == [(1536, 2, 0), (1024, 1, 3)]
