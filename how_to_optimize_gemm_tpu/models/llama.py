@@ -852,7 +852,8 @@ def decode_step(params, cfg: LlamaConfig, cache, tokens: jnp.ndarray,
                 write_mask: jnp.ndarray | None = None,
                 prefill_self: bool = False,
                 table: jnp.ndarray | None = None,
-                lora=None, lora_idx: jnp.ndarray | None = None):
+                lora=None, lora_idx: jnp.ndarray | None = None,
+                logit_idx: jnp.ndarray | None = None):
     """One decode step: tokens (B, S) at position pos (scalar or per-slot
     (B,) vector) -> (logits, cache). write_mask (B,) bool restricts which
     slots' caches are written (used by batched prefill). prefill_self:
@@ -862,7 +863,13 @@ def decode_step(params, cfg: LlamaConfig, cache, tokens: jnp.ndarray,
     (k_pool, v_pool) page pools read/written through this block table
     (see init_paged_kv_cache / ops/pallas_paged_attention).
     lora + lora_idx (B,) int32 (-1 = base): per-row multi-LoRA deltas
-    on every adapted linear (models/lora — the BGMV serving path)."""
+    on every adapted linear (models/lora — the BGMV serving path).
+    logit_idx (B,) int32: unembed ONLY position logit_idx[b] of each
+    row -> logits (B, 1, vocab). Admission prefill needs exactly one
+    sampled position per slot, and full (B, P, vocab) prefill logits
+    are the dominant admission allocation at long P (a 16k 7B
+    prompt's fp32 logits alone are 2.1 GB — measured OOM, round 5);
+    the selected row is bit-identical."""
     b, s = tokens.shape
     x = params["embed"][tokens]
     positions = (pos[..., None] if jnp.ndim(pos) else pos) + jnp.arange(s)
@@ -876,6 +883,8 @@ def decode_step(params, cfg: LlamaConfig, cache, tokens: jnp.ndarray,
                        use_pallas=use_pallas, write_mask=write_mask,
                        prefill_self=prefill_self, lora=blk_lora)
         new_cache.append(kv)
+    if logit_idx is not None:
+        x = x[jnp.arange(b), logit_idx][:, None]
     x = rmsnorm(x, params["out_norm"], cfg.norm_eps)
     logits = apply_linear(params["lm_head"], x, use_pallas)
     return logits, new_cache

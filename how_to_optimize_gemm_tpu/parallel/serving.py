@@ -247,21 +247,25 @@ class ServingEngine:
 
         @functools.partial(jax.jit, static_argnames=())
         def _prefill(params, cache, tokens, pos, write_mask, table=None,
-                     lora=None, lora_idx=None):
+                     lora=None, lora_idx=None, logit_idx=None):
             # prefill_self: the admitted slot is at pos 0, so attention
             # is causal self-attention over the prompt (flash-routable) —
             # the eager cached path would cost (B, P, max_seq) scores.
+            # logit_idx: unembed only the sampled position per slot —
+            # full (B, P, vocab) admission logits OOM at long P.
             logits, cache = llama.decode_step(params, cfg, cache, tokens,
                                               pos, use_pallas,
                                               write_mask=write_mask,
                                               prefill_self=True,
                                               table=table, lora=lora,
-                                              lora_idx=lora_idx)
+                                              lora_idx=lora_idx,
+                                              logit_idx=logit_idx)
             return logits, cache
 
         @functools.partial(jax.jit, static_argnames=())
         def _prefill_at(params, cache, tokens, pos, write_mask,
-                        table=None, lora=None, lora_idx=None):
+                        table=None, lora=None, lora_idx=None,
+                        logit_idx=None):
             # SUFFIX prefill (prefix-cache hits): the slot already holds
             # cached K/V for positions < pos, so attention goes through
             # the generic cached path — each suffix query attends the
@@ -271,7 +275,8 @@ class ServingEngine:
                                               write_mask=write_mask,
                                               prefill_self=False,
                                               table=table, lora=lora,
-                                              lora_idx=lora_idx)
+                                              lora_idx=lora_idx,
+                                              logit_idx=logit_idx)
             return logits, cache
 
         @jax.jit
@@ -385,6 +390,7 @@ class ServingEngine:
             tokens = np.zeros((self.batch, c), np.int32)
             pos = self.slot_pos.copy()
             mask = np.zeros(self.batch, bool)
+            lidx = np.zeros(self.batch, np.int32)
             self_attn = True
             for s, req, start, n in lens:
                 if n <= j * c:
@@ -394,16 +400,23 @@ class ServingEngine:
                 tokens[s, :len(seg)] = seg
                 pos[s] = start + j * c
                 mask[s] = True
+                if (n - 1) // c == j:
+                    lidx[s] = (n - 1) % c
                 if start + j * c > 0:
                     self_attn = False
             fn = self._prefill if self_attn else self._prefill_at
+            # logit_idx: the chunk unembeds ONE position per slot (the
+            # slot's sampled position when its prompt ends in this
+            # chunk, else row 0 as a don't-care) — full (B, C, vocab)
+            # logits were the dominant admission allocation
             logits, self.cache = fn(
                 self.params, self.cache, jnp.asarray(tokens),
                 jnp.asarray(pos), jnp.asarray(mask), table,
-                lora=self.lora, lora_idx=self._lora_idx())
+                lora=self.lora, lora_idx=self._lora_idx(),
+                logit_idx=jnp.asarray(lidx))
             for s, req, start, n in lens:
                 if (n - 1) // c == j:
-                    logits_of[s] = (logits, (n - 1) % c)
+                    logits_of[s] = (logits, 0)
         return logits_of
 
     @staticmethod
