@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--paged", action="store_true",
                     help="block-table paged KV pool (the engine-level "
                          "paged-vs-contiguous A/B)")
+    ap.add_argument("--page", type=int, default=None,
+                    help="tokens per page (default good_page_size; "
+                         "long caches amortize the kernel's per-page "
+                         "walk with bigger pages)")
     ap.add_argument("--cache-pages", type=int, default=None,
                     help="paged pool size incl. trash page; less than "
                          "slots*max_seq/page oversubscribes — the "
@@ -106,7 +110,8 @@ def main():
     eng = ServingEngine(cfg, params, batch_slots=args.slots,
                         cache_kind=args.cache_kind,
                         sample=make_sampler(args.temperature, top_k=40),
-                        paged=args.paged, cache_pages=args.cache_pages,
+                        paged=args.paged, page=args.page,
+                        cache_pages=args.cache_pages,
                         prefix_cache=args.prefix_cache,
                         alloc_backend=args.alloc_backend,
                         prefill_chunk=args.prefill_chunk)
