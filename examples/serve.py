@@ -160,9 +160,18 @@ def main():
         extra = (f"; paged pool {used} pages x {eng.page} tok"
                  + (f", prefix hits {eng.prefix_hit_tokens} tok"
                     if args.prefix_cache else ""))
+    # decode-only steady rate: long prompts put seconds of prefill
+    # inside the wall clock (a 32k TTFT is ~3.5 s), so tokens/wall
+    # under-reports decode by 2x+ at long context
+    t0s = [r.t_first for r in done if r.t_first]
+    t1s = [r.t_done for r in done if r.t_done]
+    dec_tok = sum(max(len(r.out) - 1, 0) for r in done)
+    dec_dt = max(t1s) - min(t0s) if t0s and t1s else 0.0
+    steady = f"; decode-only {dec_tok / dec_dt:.0f} tok/s" \
+        if dec_dt > 0 and dec_tok else ""
     print(f"{ntok} tokens in {dt:.2f}s = {ntok / dt:.0f} tok/s; "
           f"TTFT p50={sorted(ttfts)[len(ttfts) // 2] * 1e3:.0f} ms "
-          f"max={max(ttfts) * 1e3:.0f} ms{extra}")
+          f"max={max(ttfts) * 1e3:.0f} ms{steady}{extra}")
     if args.spec_lookup and getattr(eng, "lookup_stats", None):
         rows = []
         for uid, (acc, rnds) in sorted(eng.lookup_stats.items()):
