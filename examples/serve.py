@@ -42,6 +42,12 @@ def main():
     ap.add_argument("--paged", action="store_true",
                     help="block-table paged KV pool (the engine-level "
                          "paged-vs-contiguous A/B)")
+    ap.add_argument("--lm-head-kind", default=None,
+                    choices=["fp32", "bf16", "int8", "int4", "w4a8"],
+                    help="re-encode the LM head (init keeps it fp32 "
+                         "for trainability — but a 7B fp32 unembed "
+                         "streams 524 MB per decoded token, 12%% of "
+                         "the batch-1 step; round-5 trace)")
     ap.add_argument("--page", type=int, default=None,
                     help="tokens per page (default good_page_size; "
                          "long caches amortize the kernel's per-page "
@@ -106,6 +112,10 @@ def main():
         n_experts=args.n_experts, moe_top_k=args.moe_top_k,
         moe_ragged=args.moe_ragged)
     params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    if args.lm_head_kind:
+        from how_to_optimize_gemm_tpu.models.linear import make_linear
+        params["lm_head"] = make_linear(params["lm_head"]["fp32_w"],
+                                        args.lm_head_kind)
 
     eng = ServingEngine(cfg, params, batch_slots=args.slots,
                         cache_kind=args.cache_kind,
